@@ -1,0 +1,244 @@
+"""Rule-based detection and candidate filtering.
+
+Re-expresses `api/LanguageDetector.kt:376-473` (``detect_language_with_rules``)
+and `:475-543` (``filter_languages_by_rules``) over codepoint arrays with
+precomputed vote tables. All magic constants live in ``langdata``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .. import langdata as L
+from ..uniscript import N_SCRIPTS, SCRIPT_ID, cat_ids, script_ids
+from .text import is_logogram_char
+
+_LATIN = SCRIPT_ID["LATIN"]
+_CYRILLIC = SCRIPT_ID["CYRILLIC"]
+_DEVANAGARI = SCRIPT_ID["DEVANAGARI"]
+_HAN = SCRIPT_ID["HAN"]
+_HIRAGANA = SCRIPT_ID["HIRAGANA"]
+_KATAKANA = SCRIPT_ID["KATAKANA"]
+_OTHER = 0
+
+UNKNOWN_ORD = L.N_LANGUAGES  # sentinel ordinal for UNKNOWN in vote vectors
+
+# codepoint -> unique-char group id (-1 = none); group -> ordinals voting
+_MAX_CP = 0x30000
+
+
+@lru_cache(maxsize=1)
+def _unique_char_table() -> tuple[np.ndarray, list[np.ndarray]]:
+    groups: dict[tuple[int, ...], int] = {}
+    table = np.full(_MAX_CP, -1, dtype=np.int16)
+    group_list: list[np.ndarray] = []
+    per_char: dict[int, list[int]] = {}
+    for lang in L.LANGUAGES_WITH_UNIQUE_CHARS:
+        for ch in lang.unique_chars:
+            per_char.setdefault(ord(ch), []).append(lang.ordinal)
+    for cp, ords in per_char.items():
+        key = tuple(ords)
+        gid = groups.get(key)
+        if gid is None:
+            gid = len(group_list)
+            groups[key] = gid
+            group_list.append(np.array(ords, dtype=np.int64))
+        if cp < _MAX_CP:
+            table[cp] = gid
+    return table, group_list
+
+
+@lru_cache(maxsize=1)
+def _chars_to_languages_table() -> tuple[np.ndarray, list[np.ndarray]]:
+    """codepoint -> group id into CHARS_TO_LANGUAGES ordinal arrays."""
+    table = np.full(_MAX_CP, -1, dtype=np.int16)
+    group_list: list[np.ndarray] = []
+    seen: dict[tuple[str, ...], int] = {}
+    for ch, langs in L.CHARS_TO_LANGUAGES.items():
+        gid = seen.get(langs)
+        if gid is None:
+            gid = len(group_list)
+            seen[langs] = gid
+            group_list.append(
+                np.array([L.ORDINAL[n] for n in langs], dtype=np.int64)
+            )
+        cp = ord(ch)
+        if cp < _MAX_CP:
+            table[cp] = gid
+    return table, group_list
+
+
+@lru_cache(maxsize=8)
+def _primary_vote_table(languages: frozenset[str]) -> np.ndarray:
+    """script id -> voted ordinal (or -1).
+
+    Covers the reference's branch ladder (LanguageDetector.kt:387-400):
+    unique-alphabet languages (restricted to the detector's set), then
+    HAN -> CHINESE, then Japanese scripts -> JAPANESE.
+    """
+    table = np.full(N_SCRIPTS, -1, dtype=np.int64)
+    for script, lang in L.SCRIPTS_SUPPORTING_EXACTLY_ONE_LANGUAGE.items():
+        if lang in languages:
+            table[SCRIPT_ID[script]] = L.ORDINAL[lang]
+    table[_HAN] = L.ORDINAL["CHINESE"]
+    # Hiragana/Katakana vote JAPANESE either via the unique-alphabet map or
+    # the isJapaneseScript fallthrough — same target either way.
+    table[_HIRAGANA] = L.ORDINAL["JAPANESE"]
+    table[_KATAKANA] = L.ORDINAL["JAPANESE"]
+    return table
+
+
+_ALL_LANG_NAMES = tuple(l.name for l in L.LANGUAGES)
+
+
+def detect_language_with_rules(
+    codes: np.ndarray,
+    spans: np.ndarray,
+    languages: tuple[str, ...] = _ALL_LANG_NAMES,
+) -> str:
+    """Per-word rule voting; returns a language name or 'UNKNOWN'."""
+    lang_set = frozenset(languages)
+    in_detector = np.zeros(L.N_LANGUAGES, dtype=bool)
+    for name in languages:
+        in_detector[L.ORDINAL[name]] = True
+    primary = _primary_vote_table(lang_set)
+    uniq_table, uniq_groups = _unique_char_table()
+    uniq_lang_ok = np.zeros(L.N_LANGUAGES, dtype=bool)
+    for lang in L.LANGUAGES_WITH_UNIQUE_CHARS:
+        if lang.name in lang_set:
+            uniq_lang_ok[lang.ordinal] = True
+
+    sids_all = script_ids(codes)
+    logo_all = is_logogram_char(codes)
+
+    totals = np.zeros(L.N_LANGUAGES + 1, dtype=np.float64)  # [-1] = UNKNOWN
+    adjusted_word_count = 0.0
+
+    for s, e in spans:
+        sids = sids_all[s:e]
+        word_codes = codes[s:e]
+        votes = np.zeros(L.N_LANGUAGES, dtype=np.int64)
+        prim = primary[sids]
+        hit = prim >= 0
+        if hit.any():
+            np.add.at(votes, prim[hit], 1)
+        ucd_mask = (
+            ((sids == _LATIN) | (sids == _CYRILLIC) | (sids == _DEVANAGARI))
+        )
+        if ucd_mask.any():
+            gids = uniq_table[np.minimum(word_codes, _MAX_CP - 1)]
+            for gid in gids[ucd_mask & (gids >= 0)]:
+                ords = uniq_groups[gid]
+                sel = ords[uniq_lang_ok[ords]]
+                votes[sel] += 1
+
+        word_value = L.FULL_WORD_VALUE
+        nz = np.flatnonzero(votes)
+        if nz.size == 0:
+            totals[UNKNOWN_ORD] += word_value
+        elif nz.size == 1:
+            o = nz[0]
+            if in_detector[o]:
+                if e - s == 1 and logo_all[s]:
+                    word_value = L.LOGOGRAM_WORD_VALUE
+                totals[o] += word_value
+            else:
+                totals[UNKNOWN_ORD] += word_value
+        else:
+            counts = votes[nz]
+            order = np.lexsort((nz, -counts))  # count desc, ordinal asc
+            first, second = nz[order[0]], nz[order[1]]
+            if votes[first] > votes[second] and in_detector[first]:
+                totals[first] += word_value
+            else:
+                totals[UNKNOWN_ORD] += word_value
+        adjusted_word_count += word_value
+
+    if totals[UNKNOWN_ORD] < L.UNKNOWN_WORD_FRACTION_CUT * adjusted_word_count:
+        totals[UNKNOWN_ORD] = 0.0
+
+    nz = np.flatnonzero(totals)
+    if nz.size == 0:
+        return L.UNKNOWN
+    if nz.size == 1:
+        o = nz[0]
+        return L.UNKNOWN if o == UNKNOWN_ORD else L.LANGUAGES[o].name
+    zh, ja = L.ORDINAL["CHINESE"], L.ORDINAL["JAPANESE"]
+    if nz.size == 2 and totals[zh] != 0.0 and totals[ja] != 0.0:
+        return "JAPANESE"
+    counts = totals[nz]
+    order = np.lexsort((nz, -counts))
+    first, second = nz[order[0]], nz[order[1]]
+    if totals[second] / totals[first] > L.CLOSE_WORD_COUNT_RATIO:
+        return L.UNKNOWN
+    return L.UNKNOWN if first == UNKNOWN_ORD else L.LANGUAGES[first].name
+
+
+def filter_languages_by_rules(
+    codes: np.ndarray,
+    spans: np.ndarray,
+    languages: tuple[str, ...] = _ALL_LANG_NAMES,
+) -> tuple[str, ...]:
+    """Candidate-language pruning; returns names in ordinal order."""
+    sids_all = script_ids(codes)
+    logo_all = is_logogram_char(codes)
+
+    alphabet_votes = np.zeros(N_SCRIPTS, dtype=np.float64)
+    adjusted_word_count = 0.0
+    word_uniform_sid = np.empty(len(spans), dtype=np.int64)
+
+    for i, (s, e) in enumerate(spans):
+        sids = sids_all[s:e]
+        word_value = L.FULL_WORD_VALUE
+        sid0 = sids[0]
+        if sid0 != _OTHER and (sids == sid0).all():
+            if e - s == 1 and logo_all[s]:
+                word_value = L.LOGOGRAM_WORD_VALUE
+            alphabet_votes[sid0] += word_value
+            word_uniform_sid[i] = sid0
+        else:
+            word_uniform_sid[i] = -1
+        adjusted_word_count += word_value
+
+    lang_ords = np.array([L.ORDINAL[n] for n in languages], dtype=np.int64)
+    if not alphabet_votes.any():
+        return tuple(languages)
+
+    max_vote = alphabet_votes.max()
+    frequent_scripts = {
+        i
+        for i in range(N_SCRIPTS)
+        if alphabet_votes[i] / max_vote >= L.CLOSE_ALPHABET_RATIO
+        and alphabet_votes[i] > 0
+    }
+    filtered = [
+        name
+        for name in languages
+        if any(SCRIPT_ID[s] in frequent_scripts for s in L.BY_NAME[name].scripts)
+    ]
+
+    # CHARS_TO_LANGUAGES counting: each language at most once per word
+    # (LanguageDetector.kt:518-535).
+    c2l_table, c2l_groups = _chars_to_languages_table()
+    filtered_mask = np.zeros(L.N_LANGUAGES, dtype=bool)
+    for name in filtered:
+        filtered_mask[L.ORDINAL[name]] = True
+    lang_counts = np.zeros(L.N_LANGUAGES, dtype=np.int64)
+    gids_all = c2l_table[np.minimum(codes, _MAX_CP - 1)]
+    for s, e in spans:
+        gids = gids_all[s:e]
+        gids = gids[gids >= 0]
+        if gids.size == 0:
+            continue
+        seen = np.zeros(L.N_LANGUAGES, dtype=bool)
+        for gid in gids:
+            ords = c2l_groups[gid]
+            sel = ords[filtered_mask[ords] & ~seen[ords]]
+            seen[sel] = True
+        lang_counts[seen] += 1
+
+    threshold = adjusted_word_count / 2.0
+    subset = [n for n in filtered if lang_counts[L.ORDINAL[n]] >= threshold]
+    return tuple(subset) if subset else tuple(filtered)
