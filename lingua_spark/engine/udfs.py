@@ -1,0 +1,120 @@
+"""Arrow-batched pandas UDFs wrapping the detection + quality cores.
+
+The reference's per-language thread fan-out (`LanguageDetector.kt:545-572`)
+becomes data parallelism: Spark partitions × Arrow batches outside, NumPy
+language-matrix ops inside. No row-at-a-time Python UDFs — every batch is
+processed as pandas/NumPy (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import langdata as L
+from ..core.detector import Detector
+from ..ftlangid import FastTextish
+from ..quality import QualityConfig, assess_text
+
+ASSESS_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("confidences", MapType(StringType(), DoubleType())),
+        StructField("perplexity", DoubleType()),
+        StructField("ft_lang", StringType()),
+        StructField("langid_agree", BooleanType()),
+        StructField("quality_flags", ArrayType(StringType())),
+        StructField("keep", BooleanType()),
+        StructField("scrubbed_text", StringType()),
+        StructField("n_scrubbed", IntegerType()),
+    ]
+)
+
+DETECT_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("confidences", MapType(StringType(), DoubleType())),
+    ]
+)
+
+
+def _iso(name: str) -> str:
+    return "unknown" if name == L.UNKNOWN else L.BY_NAME[name].iso1
+
+
+def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
+    """Returns a pandas UDF text -> assessment struct, models broadcast once."""
+    from ..resources import fasttextish, packed_models
+
+    config = config or QualityConfig()
+    bc = spark.sparkContext.broadcast(
+        (packed_models(), fasttextish().weights, config)
+    )
+
+    @F.pandas_udf(ASSESS_SCHEMA)
+    def assess(texts: pd.Series) -> pd.DataFrame:
+        models, weights, cfg = bc.value
+        det = Detector(
+            models=models,
+            languages=cfg.languages,
+            minimum_relative_distance=cfg.minimum_relative_distance,
+            low_accuracy=cfg.low_accuracy,
+        )
+        ft = FastTextish(weights=weights)
+        rows = []
+        for t in texts:
+            r = assess_text(t if isinstance(t, str) else "", det, ft, cfg)
+            r["lang"] = _iso(r["lang"])
+            r["ft_lang"] = _iso(r["ft_lang"])
+            rows.append(r)
+        return pd.DataFrame(rows, columns=[f.name for f in ASSESS_SCHEMA.fields])
+
+    return assess
+
+
+def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):
+    """Detection-only UDF (U1/U2 analog): text -> (lang, confidence, map)."""
+    from ..resources import packed_models
+
+    config = config or QualityConfig()
+    bc = spark.sparkContext.broadcast((packed_models(), config))
+
+    @F.pandas_udf(DETECT_SCHEMA)
+    def detect(texts: pd.Series) -> pd.DataFrame:
+        models, cfg = bc.value
+        det = Detector(
+            models=models,
+            languages=cfg.languages,
+            minimum_relative_distance=cfg.minimum_relative_distance,
+            low_accuracy=cfg.low_accuracy,
+        )
+        out = []
+        for t in texts:
+            confs = det.confidence_values(t if isinstance(t, str) else "")
+            name = det.detect(t if isinstance(t, str) else "")
+            top = confs[0][1] if confs and name != L.UNKNOWN else 0.0
+            out.append(
+                {
+                    "lang": _iso(name),
+                    "confidence": float(top),
+                    "confidences": {L.BY_NAME[k].iso1: v for k, v in confs},
+                }
+            )
+        return pd.DataFrame(out, columns=["lang", "confidence", "confidences"])
+
+    return detect

@@ -1,0 +1,69 @@
+"""fastText-style secondary language identifier (north-rule cross-check).
+
+A hashed character-n-gram multinomial Naive-Bayes linear model — the same
+shape as fastText's langid (hashed n-gram features -> linear scores) but
+trained deterministically from our corpus. Shares the broadcast pattern of
+the primary detector: one float32 weight matrix (N_BUCKETS, N_LANGUAGES)
+shipped to executors once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import langdata as L
+from .core.ngram import prefix_hashes
+from .core.text import clean_up
+from .uniscript import codes_of
+
+N_BUCKETS = 1 << 15
+NGRAM_SIZES = (2, 3, 4)
+
+
+def _buckets(cleaned: str) -> np.ndarray:
+    """Hashed char n-gram buckets (spaces included, fastText-style)."""
+    codes = codes_of(cleaned)
+    out = []
+    for n in NGRAM_SIZES:
+        if len(codes) < n:
+            continue
+        wins = np.lib.stride_tricks.sliding_window_view(codes, n)
+        h = prefix_hashes(wins)[:, -1]
+        out.append(h % np.uint64(N_BUCKETS))
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(out)
+
+
+@dataclass
+class FastTextish:
+    weights: np.ndarray  # float32 (N_BUCKETS, N_LANGUAGES) log-probs
+
+    @classmethod
+    def train(cls, corpus: dict[str, list[str]], alpha: float = 1.0) -> "FastTextish":
+        counts = np.zeros((N_BUCKETS, L.N_LANGUAGES), dtype=np.float64)
+        for lang, lines in sorted(corpus.items()):
+            col = L.ORDINAL[lang]
+            for line in lines:
+                b = _buckets(clean_up(line))
+                if b.size:
+                    np.add.at(counts[:, col], b.astype(np.int64), 1.0)
+        totals = counts.sum(axis=0)
+        w = np.log((counts + alpha) / (totals + alpha * N_BUCKETS))
+        return cls(weights=w.astype(np.float32))
+
+    def predict_ord(self, text: str) -> int:
+        """Ordinal of the predicted language, or -1 for no evidence."""
+        b = _buckets(clean_up(text))
+        if b.size == 0:
+            return -1
+        scores = self.weights[b.astype(np.int64)].sum(
+            axis=0, dtype=np.float64
+        )
+        return int(np.argmax(scores))  # argmax ties -> lowest ordinal
+
+    def predict(self, text: str) -> str:
+        o = self.predict_ord(text)
+        return L.UNKNOWN if o < 0 else L.LANGUAGES[o].name
