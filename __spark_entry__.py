@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship quality-filter pipeline; ``queries`` /
+``oracle_sql`` expose the operator inventory (SURVEY.md §2 + training-data
+ops) with DuckDB cross-checks. SQL-expressible queries carry an oracle;
+the full-detector queries (pandas-UDF core) are rows-only checked and
+their per-turn parity is instead asserted against the pure-Python oracle
+in ``tests/test_spark_pipeline.py``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full per-turn language-ID + quality-filter + scrub pipeline
+    over the transcript-shaped documents table at sf0.001."""
+    from lingua_spark.engine.pipeline import assess_turns, with_stable_order
+    from lingua_spark.ops.queries import documents_as_transcripts
+
+    tdf = documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    return assess_turns(spark, with_stable_order(tdf), None, 8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        detect_language_counts,
+        make_sql_query,
+        quality_pipeline_summary,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: make_sql_query(name) for name in SQL_QUERIES
+    }
+    out["detect_language_counts"] = detect_language_counts
+    out["quality_pipeline_summary"] = quality_pipeline_summary
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    return {name: dsql for name, (_, dsql) in SQL_QUERIES.items()}

@@ -20,9 +20,9 @@ from .rules import detect_language_with_rules, filter_languages_by_rules
 from .text import clean_up, word_spans
 
 _ALL = tuple(l.name for l in L.LANGUAGES)
-_LOGO_ORDS = np.array(
-    sorted(L.ORDINAL[n] for n in L.LANGUAGES_SUPPORTING_LOGOGRAMS), dtype=np.int64
-)
+_IS_LOGO_LANG = np.zeros(L.N_LANGUAGES, dtype=bool)
+for _n in L.LANGUAGES_SUPPORTING_LOGOGRAMS:
+    _IS_LOGO_LANG[L.ORDINAL[_n]] = True
 
 
 def ngram_length_range(cleaned_len: int, low_accuracy: bool) -> list[int]:
@@ -65,21 +65,50 @@ def score_candidates(
         remaining = np.ones((k, ncand), dtype=bool)
         direct_hit: np.ndarray | None = None
         for depth in range(n, 0, -1):
-            f = models.lookup(depth, np.ascontiguousarray(h[:, depth - 1]))
-            f = f[:, cand_ords]
             if depth == n:
+                f = models.lookup(
+                    depth, np.ascontiguousarray(h[:, depth - 1]), cand_ords
+                )
                 direct_hit = f > 0
-            hit = remaining & (f > 0)
-            if hit.any():
-                logf[hit] = np.log(f[hit].astype(np.float64))
-            remaining &= ~hit
+                hit = remaining & direct_hit
+                if hit.any():
+                    logf[hit] = np.log(f[hit].astype(np.float64))
+                remaining &= ~hit
+            else:
+                # backoff only for rows with any unresolved (row, lang) cell;
+                # gather/scatter pays off only when few rows remain
+                rows_left = remaining.any(axis=1)
+                n_left = int(rows_left.sum())
+                if n_left == 0:
+                    break
+                if n_left < k // 2:
+                    act = np.flatnonzero(rows_left)
+                    f = models.lookup(
+                        depth, np.ascontiguousarray(h[act, depth - 1]), cand_ords
+                    )
+                    sub_rem = remaining[act]
+                    hit = sub_rem & (f > 0)
+                    if hit.any():
+                        sub_logf = logf[act]
+                        sub_logf[hit] = np.log(f[hit].astype(np.float64))
+                        logf[act] = sub_logf
+                        sub_rem &= ~hit
+                        remaining[act] = sub_rem
+                else:
+                    f = models.lookup(
+                        depth, np.ascontiguousarray(h[:, depth - 1]), cand_ords
+                    )
+                    hit = remaining & (f > 0)
+                    if hit.any():
+                        logf[hit] = np.log(f[hit].astype(np.float64))
+                    remaining &= ~hit
         # Sequentially defined per-language sums: transpose-copy makes each
         # language's k values contiguous so NumPy's pairwise summation is
         # identical between oracle (1-D np.sum) and engine.
         sums = logf.T.copy().sum(axis=1)
         # Logogram boost (LanguageDetector.kt:577-587): negative sums of
         # CHINESE/JAPANESE/KOREAN multiplied by 0.85, applied per length.
-        boost = np.isin(cand_ords, _LOGO_ORDS) & (sums < 0.0)
+        boost = _IS_LOGO_LANG[cand_ords] & (sums < 0.0)
         sums = np.where(boost, sums * L.LOGOGRAM_PROBABILITY_BOOST, sums)
         per_length_sums.append(sums)
         if n == 1:

@@ -112,27 +112,31 @@ def detect_language_with_rules(
 
     sids_all = script_ids(codes)
     logo_all = is_logogram_char(codes)
+    prim_all = primary[sids_all]
+    ucd_all = (
+        (sids_all == _LATIN) | (sids_all == _CYRILLIC) | (sids_all == _DEVANAGARI)
+    )
+    gids_all = uniq_table[np.minimum(codes, _MAX_CP - 1)]
+    uc_hit_all = ucd_all & (gids_all >= 0)
 
     totals = np.zeros(L.N_LANGUAGES + 1, dtype=np.float64)  # [-1] = UNKNOWN
     adjusted_word_count = 0.0
 
     for s, e in spans:
-        sids = sids_all[s:e]
-        word_codes = codes[s:e]
+        prim_hits = prim_all[s:e]
+        prim_hits = prim_hits[prim_hits >= 0]
+        uc = np.flatnonzero(uc_hit_all[s:e])
+        if uc.size == 0 and prim_hits.size == 0:
+            totals[UNKNOWN_ORD] += L.FULL_WORD_VALUE
+            adjusted_word_count += L.FULL_WORD_VALUE
+            continue
         votes = np.zeros(L.N_LANGUAGES, dtype=np.int64)
-        prim = primary[sids]
-        hit = prim >= 0
-        if hit.any():
-            np.add.at(votes, prim[hit], 1)
-        ucd_mask = (
-            ((sids == _LATIN) | (sids == _CYRILLIC) | (sids == _DEVANAGARI))
-        )
-        if ucd_mask.any():
-            gids = uniq_table[np.minimum(word_codes, _MAX_CP - 1)]
-            for gid in gids[ucd_mask & (gids >= 0)]:
-                ords = uniq_groups[gid]
-                sel = ords[uniq_lang_ok[ords]]
-                votes[sel] += 1
+        if prim_hits.size:
+            np.add.at(votes, prim_hits, 1)
+        for gid in gids_all[s + uc]:
+            ords = uniq_groups[gid]
+            sel = ords[uniq_lang_ok[ords]]
+            votes[sel] += 1
 
         word_value = L.FULL_WORD_VALUE
         nz = np.flatnonzero(votes)

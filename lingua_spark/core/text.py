@@ -40,6 +40,9 @@ _ASCII_WS = frozenset(map(ord, " \t\n\x0b\f\r"))
 LOGO_SCRIPT_IDS = np.array(
     sorted(SCRIPT_ID[s] for s in SCRIPTS_WITH_LOGOGRAMS), dtype=np.uint8
 )
+# script id -> is-logogram boolean (faster than np.isin in the hot path)
+_LOGO_BY_SID = np.zeros(max(SCRIPT_ID.values()) + 1, dtype=bool)
+_LOGO_BY_SID[LOGO_SCRIPT_IDS] = True
 
 
 def clean_up(text: str) -> str:
@@ -63,7 +66,7 @@ def clean_up(text: str) -> str:
 
 def is_logogram_char(codes: np.ndarray) -> np.ndarray:
     """Boolean mask: char is a logogram (CharExtensions.kt:32-39)."""
-    return np.isin(script_ids(codes), LOGO_SCRIPT_IDS)
+    return _LOGO_BY_SID[script_ids(codes)]
 
 
 def word_spans(codes: np.ndarray) -> np.ndarray:

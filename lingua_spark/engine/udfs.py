@@ -57,10 +57,38 @@ def _iso(name: str) -> str:
     return "unknown" if name == L.UNKNOWN else L.BY_NAME[name].iso1
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``lingua_spark`` importable on executor Python workers even when
+    the driver runs from another cwd: zip the package and addPyFile it —
+    the programmatic equivalent of ``spark-submit --py-files`` (north rule).
+    Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_lingua_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent.parent
+    fd, zpath = tempfile.mkstemp(prefix="lingua_spark_", suffix=".zip")
+    import os
+
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(pkg_dir.rglob("*")):
+            if p.is_file() and "__pycache__" not in p.parts and (
+                p.suffix in (".py", ".npz") or p.name == "ngram_models.parquet"
+            ):
+                zf.write(p, Path("lingua_spark") / p.relative_to(pkg_dir))
+    sc.addPyFile(zpath)
+    sc._lingua_spark_shipped = True
+
+
 def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
     """Returns a pandas UDF text -> assessment struct, models broadcast once."""
     from ..resources import fasttextish, packed_models
 
+    ship_package(spark)
     config = config or QualityConfig()
     bc = spark.sparkContext.broadcast(
         (packed_models(), fasttextish().weights, config)
@@ -91,6 +119,7 @@ def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):
     """Detection-only UDF (U1/U2 analog): text -> (lang, confidence, map)."""
     from ..resources import packed_models
 
+    ship_package(spark)
     config = config or QualityConfig()
     bc = spark.sparkContext.broadcast((packed_models(), config))
 

@@ -104,17 +104,23 @@ class PackedModels:
             freqs[n] = mat
         return cls(keys=keys, freqs=freqs)
 
-    def lookup(self, n: int, hashes: np.ndarray) -> np.ndarray:
-        """(k,) uint64 -> (k, N_LANGUAGES) float32; 0 where missing."""
+    def lookup(
+        self, n: int, hashes: np.ndarray, cols: np.ndarray | None = None
+    ) -> np.ndarray:
+        """(k,) uint64 -> (k, n_cols) float32; 0 where missing. ``cols``
+        restricts (and orders) the language columns returned."""
         keys = self.keys[n]
+        ncols = L.N_LANGUAGES if cols is None else len(cols)
         if keys.size == 0 or hashes.size == 0:
-            return np.zeros((hashes.size, L.N_LANGUAGES), dtype=np.float32)
+            return np.zeros((hashes.size, ncols), dtype=np.float32)
         idx = np.searchsorted(keys, hashes)
         idx_c = np.minimum(idx, keys.size - 1)
         found = keys[idx_c] == hashes
-        out = self.freqs[n][idx_c]
-        out = np.where(found[:, None], out, np.float32(0.0))
-        return out
+        if cols is None:
+            out = self.freqs[n][idx_c]
+        else:
+            out = self.freqs[n][idx_c[:, None], cols[None, :]]
+        return np.where(found[:, None], out, np.float32(0.0))
 
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self.keys.values()) + sum(

@@ -1,0 +1,471 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry is one operator from SURVEY.md §2 (SQL-expressible sub-operators
+of the lingua pipeline) or a training-data pipeline operator (dedup /
+similarity / text analysis). The Spark side and the DuckDB side compute the
+same result with the same column names so the driver's order-insensitive
+value-hash comparison passes (CORRECTNESS gate).
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+prunes. All heavy lifting is built-in Spark SQL (JVM, whole-stage codegen);
+Python appears only in the two full-detector queries, as Arrow-batched
+pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+
+
+def _cleaned(dialect: str, col: str = "text") -> str:
+    """P1 cleanup (LanguageDetector.kt:319-327) as engine-native regex."""
+    if dialect == "spark":
+        return (
+            f"regexp_replace(regexp_replace(lower(trim({col})),"
+            r" '[\\p{N}\\p{P}]', ''), '\\s+', ' ')"
+        )
+    return (
+        f"regexp_replace(regexp_replace(lower(trim({col})),"
+        r" '[\p{N}\p{P}]', '', 'g'), '\s+', ' ', 'g')"
+    )
+
+
+def _shingles(dialect: str, expr: str, k: int) -> str:
+    """All k-char shingles of expr as an array (N1 extraction analog)."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, greatest(length({expr}) - {k - 1}, 1)),"
+            f" i -> substring({expr}, i, {k}))"
+        )
+    return (
+        f"list_transform(range(1, greatest(length({expr}) - {k - 1}, 1) + 1),"
+        f" i -> substring({expr}, i::INT, {k}))"
+    )
+
+
+def _tokens(dialect: str, col: str = "text") -> str:
+    if dialect == "spark":
+        return f"filter(split(lower(trim({col})), ' +'), x -> x != '')"
+    return (
+        f"list_filter(string_split_regex(lower(trim({col})), ' +'),"
+        " x -> x != '')"
+    )
+
+
+def _simhash_select(dialect: str) -> str:
+    """16-bit SimHash: bit j = sign of sum over words of ±1 derived from the
+    j-th hex nibble parity of md5(word). Pure SQL in both dialects."""
+    if dialect == "spark":
+        words = (
+            "SELECT doc_id, explode(" + _tokens("spark") + ") AS w FROM documents"
+        )
+    else:
+        words = (
+            "SELECT doc_id, unnest(" + _tokens("duckdb") + ") AS w FROM documents"
+        )
+    bit_sums = ", ".join(
+        "sum(CASE WHEN (instr('0123456789abcdef', substring(h, {j}, 1)) - 1) % 2 = 1"
+        " THEN 1 ELSE -1 END) AS b{j}".format(j=j)
+        for j in range(1, 17)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << (j - 1)} ELSE 0 END)" for j in range(1, 17)
+    )
+    return f"""
+WITH words AS ({words}),
+wh AS (SELECT doc_id, md5(w) AS h FROM words),
+bits AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id)
+SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
+    """MinHash signatures: min over shingles of md5(i || shingle); the
+    lexicographic min over fixed-length hex equals the numeric min."""
+    c = _cleaned(dialect)
+    sh = _shingles(dialect, "c", k)
+    if dialect == "spark":
+        shingled = (
+            f"SELECT doc_id, explode({sh}) AS s FROM"
+            f" (SELECT doc_id, {c} AS c FROM documents)"
+        )
+    else:
+        shingled = (
+            f"SELECT doc_id, unnest({sh}) AS s FROM"
+            f" (SELECT doc_id, {c} AS c FROM documents)"
+        )
+    mins = ", ".join(
+        f"min(md5('{i}' || s)) AS h{i}" for i in range(1, n_hashes + 1)
+    )
+    return f"WITH sh AS ({shingled}) SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+def _minhash_lsh_pairs(dialect: str) -> str:
+    sig = _minhash_sig(dialect)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b - 1} || h{2 * b}) AS bkey FROM sig"
+        for b in range(1, 5)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _jaccard_pairs(dialect: str) -> str:
+    """n-gram Jaccard candidate pairs via rare-shingle inverted index
+    (prefix-filter pattern: only shingles with document frequency <= 10
+    generate candidates — the join that scales)."""
+    c = _cleaned(dialect)
+    sh = _shingles(dialect, "c", 4)
+    ex = "explode" if dialect == "spark" else "unnest"
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {ex}({sh}) AS s
+  FROM (SELECT doc_id, {c} AS c FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20
+),
+rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS rare_common
+  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.rare_common,
+       round(CAST(p.rare_common AS DOUBLE)
+             / (sa.n + sb.n - p.rare_common), 4) AS jaccard_lb
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.rare_common >= 2
+"""
+
+
+def _cosine_topk(dialect: str, n_query: int = 8, topk: int = 3) -> str:
+    """Brute-force cosine top-k (the ANN baseline). Spark: broadcast the
+    tiny query side against the full embedding table; dot/norms via
+    higher-order array functions (JVM, no Python)."""
+    if dialect == "spark":
+        dot = (
+            "aggregate(zip_with(q.embedding, e.embedding,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nrm = (
+            lambda side: f"sqrt(aggregate(transform({side}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+        cos = f"({dot}) / nullif({nrm('q')} * {nrm('e')}, 0.0)"
+    else:
+        cos = (
+            "list_cosine_similarity(q.embedding::DOUBLE[],"
+            " e.embedding::DOUBLE[])"
+        )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({cos}, 4) AS cosine
+  FROM embeddings q JOIN embeddings e ON q.vec_id < {n_query}
+   AND e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {topk}
+"""
+
+
+def _sessionize(dialect: str, gap_minutes: int = 30) -> str:
+    """W1 boundary-split analog on the events stream: a new session starts
+    after a gap > 30 min (sessionization via lag + running sum)."""
+    if dialect == "spark":
+        gap = (
+            "(unix_micros(cast(ts AS TIMESTAMP))"
+            " - unix_micros(cast(prev_ts AS TIMESTAMP)))"
+            f" > {gap_minutes} * 60000000"
+        )
+    else:
+        gap = f"(epoch_us(ts) - epoch_us(prev_ts)) > {gap_minutes} * 60000000"
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR {gap} THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flags
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+_PII_IP = r"(\d{1,3}\.){3}\d{1,3}"
+
+
+def _pii_scrub(dialect: str) -> str:
+    if dialect == "spark":
+        scrub = (
+            f"regexp_replace(regexp_replace(regexp_replace(text,"
+            f" '{_PII_EMAIL}', '[EMAIL]'),"
+            f" '{_PII_SSN}', '[SSN]'),"
+            f" '{_PII_IP}', '[IP]')"
+        )
+    else:
+        scrub = (
+            f"regexp_replace(regexp_replace(regexp_replace(text,"
+            f" '{_PII_EMAIL}', '[EMAIL]', 'g'),"
+            f" '{_PII_SSN}', '[SSN]', 'g'),"
+            f" '{_PII_IP}', '[IP]', 'g')"
+        )
+    return f"""
+SELECT doc_id, {scrub} AS scrubbed_text,
+       CAST(length(text) - length({scrub}) != 0 AS BOOLEAN) AS was_scrubbed
+FROM documents
+"""
+
+
+_STOPWORDS = [
+    ("the", "en"), ("and", "en"), ("of", "en"), ("to", "en"), ("a", "en"),
+    ("und", "de"), ("der", "de"), ("die", "de"), ("das", "de"), ("ist", "de"),
+    ("les", "fr"), ("des", "fr"), ("est", "fr"), ("dans", "fr"), ("une", "fr"),
+    ("los", "es"), ("las", "es"), ("por", "es"), ("con", "es"), ("para", "es"),
+    ("row", "xx"), ("scan", "xx"), ("table", "xx"), ("query", "xx"),
+]
+
+
+def _stopword_langid(dialect: str) -> str:
+    vals = ", ".join(f"('{w}', '{lg}')" for w, lg in _STOPWORDS)
+    tok = _tokens(dialect)
+    if dialect == "spark":
+        stop = f"SELECT * FROM VALUES {vals} AS stop(w, slang)"
+        toks = f"SELECT doc_id, explode({tok}) AS w FROM documents"
+    else:
+        stop = f"SELECT * FROM (VALUES {vals}) AS stop(w, slang)"
+        toks = f"SELECT doc_id, unnest({tok}) AS w FROM documents"
+    return f"""
+WITH stop AS ({stop}),
+tok AS ({toks}),
+votes AS (
+  SELECT tok.doc_id, stop.slang, count(*) AS c
+  FROM tok JOIN stop ON tok.w = stop.w
+  GROUP BY tok.doc_id, stop.slang
+),
+ranked AS (
+  SELECT doc_id, slang, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, slang) AS rn
+  FROM votes
+)
+SELECT doc_id, slang AS guessed_lang, c AS votes FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry: name -> (spark_sql, duckdb_sql) for the SQL-expressible set.
+# The Spark member is a SQL string executed over temp views registered by
+# ``register_views`` — Catalyst still owns the physical plan (pushdown,
+# AQE); this is the idiomatic declarative surface, not a bypass.
+
+SQL_QUERIES: dict[str, tuple[str, str]] = {
+    # P1 cleanup (op P1)
+    "p1_cleanup_regex": (
+        f"SELECT doc_id, {_cleaned('spark')} AS cleaned FROM documents",
+        f"SELECT doc_id, {_cleaned('duckdb')} AS cleaned FROM documents",
+    ),
+    # N1 n-gram extraction + SO2 dedup: distinct trigram count per doc.
+    # Cleanup runs once in a subquery — inlining it would re-evaluate the
+    # regex chain per transform element.
+    "n1_trigram_distinct": (
+        "SELECT doc_id, CAST(size(array_distinct("
+        + _shingles("spark", "c", 3)
+        + ")) AS BIGINT) AS n_distinct_trigrams FROM"
+        f" (SELECT doc_id, {_cleaned('spark')} AS c FROM documents)",
+        "SELECT doc_id, CAST(len(list_distinct("
+        + _shingles("duckdb", "c", 3)
+        + ")) AS BIGINT) AS n_distinct_trigrams FROM"
+        f" (SELECT doc_id, {_cleaned('duckdb')} AS c FROM documents)",
+    ),
+}
+
+# identical-text queries (portable SQL): fill with one string for both
+_PORTABLE = {
+    "k2_argmax_window": """
+SELECT source, lang AS top_lang, c AS n_docs FROM (
+  SELECT source, lang, count(*) AS c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY count(*) DESC, lang) AS rn
+  FROM documents GROUP BY source, lang
+) t WHERE rn = 1
+""",
+    # A6 accuracy-report aggregation analog: per-language counts + averages
+    "a6_lang_agg": """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+""",
+    # exact dedup: hash-groupBy, min doc survives
+    "dedup_exact": """
+SELECT md5(lower(trim(text))) AS text_key, min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(lower(trim(text)))
+""",
+}
+
+SQL_QUERIES["k2_argmax_window"] = (
+    _PORTABLE["k2_argmax_window"],
+    _PORTABLE["k2_argmax_window"],
+)
+SQL_QUERIES["a6_lang_agg"] = (_PORTABLE["a6_lang_agg"], _PORTABLE["a6_lang_agg"])
+SQL_QUERIES["dedup_exact"] = (_PORTABLE["dedup_exact"], _PORTABLE["dedup_exact"])
+SQL_QUERIES["dedup_minhash_sig"] = (_minhash_sig("spark"), _minhash_sig("duckdb"))
+SQL_QUERIES["dedup_minhash_lsh_pairs"] = (
+    _minhash_lsh_pairs("spark"),
+    _minhash_lsh_pairs("duckdb"),
+)
+SQL_QUERIES["dedup_simhash"] = (_simhash_select("spark"), _simhash_select("duckdb"))
+SQL_QUERIES["dedup_jaccard_pairs"] = (_jaccard_pairs("spark"), _jaccard_pairs("duckdb"))
+SQL_QUERIES["sim_cosine_topk"] = (_cosine_topk("spark"), _cosine_topk("duckdb"))
+SQL_QUERIES["w1_sessionize"] = (_sessionize("spark"), _sessionize("duckdb"))
+SQL_QUERIES["pii_scrub_sql"] = (_pii_scrub("spark"), _pii_scrub("duckdb"))
+SQL_QUERIES["langid_stopwords"] = (
+    _stopword_langid("spark"),
+    _stopword_langid("duckdb"),
+)
+
+# text stats / heuristic keep: dialect-specific array functions
+SQL_QUERIES["textstats_tokens"] = (
+    f"""
+SELECT doc_id,
+       CAST(size({_tokens('spark')}) AS BIGINT) AS n_tokens,
+       CAST(size(array_distinct({_tokens('spark')})) AS BIGINT)
+         AS n_distinct_tokens,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS BIGINT)
+         AS n_symbol_chars
+FROM documents
+""",
+    f"""
+SELECT doc_id,
+       CAST(len({_tokens('duckdb')}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_tokens('duckdb')})) AS BIGINT)
+         AS n_distinct_tokens,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+         AS n_symbol_chars
+FROM documents
+""",
+)
+
+SQL_QUERIES["quality_keep_sql"] = (
+    f"""
+SELECT doc_id,
+  CAST(length(text) >= 8
+   AND size({_tokens('spark')}) >= 2
+   AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) * 1.0
+       / greatest(length(text), 1) <= 0.3
+   AND size(array_distinct({_tokens('spark')})) * 1.0
+       / greatest(size({_tokens('spark')}), 1) >= 0.2 AS BOOLEAN) AS keep
+FROM documents
+""",
+    f"""
+SELECT doc_id,
+  CAST(length(text) >= 8
+   AND len({_tokens('duckdb')}) >= 2
+   AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) <= 0.3
+   AND len(list_distinct({_tokens('duckdb')})) * 1.0
+       / greatest(len({_tokens('duckdb')}), 1) >= 0.2 AS BOOLEAN) AS keep
+FROM documents
+""",
+)
+
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def make_sql_query(name: str):
+    spark_sql, _ = SQL_QUERIES[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    run.__name__ = f"query_{name}"
+    return run
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible queries (full detector / quality pipeline): the driver
+# records a weaker rows-only check for these (no oracle_sql entry).
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table onto the transcript input_hint shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def detect_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lingua-core detection over documents -> per-language counts."""
+    from ..engine.udfs import make_detect_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    detect = make_detect_udf(spark)
+    return (
+        docs.withColumn("d", detect(F.col("text")))
+        .groupBy(F.col("d.lang").alias("detected_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def quality_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-turn quality pipeline over the transcript-shaped documents."""
+    from ..engine.pipeline import assess_turns, with_stable_order
+
+    tdf = documents_as_transcripts(spark, sf_dir)
+    assessed = assess_turns(spark, with_stable_order(tdf), None, 8)
+    return assessed.groupBy("lang").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((F.col("n_scrubbed") > 0).cast("long")).alias("scrubbed"),
+    )

@@ -1,0 +1,84 @@
+"""Structured Streaming quality filter.
+
+The reference is purely batch (SURVEY.md §2: no streaming); this is the
+north-rule deployment mode for continuously arriving transcript turns:
+``readStream`` on a transcript directory -> the same broadcast-model assess
+UDF -> ``writeStream`` to partitioned Parquet with a checkpoint. Watermark
+on ``ts`` bounds state for the windowed per-conversation metrics stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine.udfs import make_assess_udf
+from .quality import QualityConfig
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string,"
+    " tool string, ts timestamp"
+)
+
+
+def stream_assess(
+    spark: SparkSession,
+    input_dir: str,
+    config: QualityConfig | None = None,
+    n_partitions: int = 16,
+) -> DataFrame:
+    """Streaming DataFrame of assessed turns from a parquet directory."""
+    assess = make_assess_udf(spark, config)
+    src = spark.readStream.schema(TRANSCRIPT_DDL).parquet(input_dir)
+    return (
+        src.withColumn(
+            "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions))
+        )
+        .withColumn("q", assess(F.col("text")))
+        .select(
+            "conv_id", "turn_idx", "ts",
+            F.col("q.lang").alias("lang"),
+            F.col("q.keep").alias("keep"),
+            F.col("q.scrubbed_text").alias("scrubbed_text"),
+            "partition_id",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    config: QualityConfig | None = None,
+) -> None:
+    """Drain all available input once (Trigger.AvailableNow) and stop —
+    the batch-incremental deployment shape; restart resumes from the
+    checkpoint."""
+    out = stream_assess(spark, input_dir, config)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_keep_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    config: QualityConfig | None = None,
+) -> DataFrame:
+    """Tumbling 10-minute keep-rate metrics with a 30-minute watermark
+    (late turns beyond the watermark are dropped from the aggregate)."""
+    assessed = stream_assess(spark, input_dir, config)
+    return (
+        assessed.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+    )
