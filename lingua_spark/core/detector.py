@@ -102,10 +102,10 @@ def score_candidates(
                     if hit.any():
                         logf[hit] = np.log(f[hit].astype(np.float64))
                     remaining &= ~hit
-        # Sequentially defined per-language sums: transpose-copy makes each
-        # language's k values contiguous so NumPy's pairwise summation is
-        # identical between oracle (1-D np.sum) and engine.
-        sums = logf.T.copy().sum(axis=1)
+        # Canonical summation: np.add.reduceat over ascending-hash n-grams —
+        # its associativity is layout-independent, so this is bit-identical
+        # to the batch engine's segment sums and the oracle's 1-D reduceat.
+        sums = np.add.reduceat(logf, [0], axis=0)[0]
         # Logogram boost (LanguageDetector.kt:577-587): negative sums of
         # CHINESE/JAPANESE/KOREAN multiplied by 0.85, applied per length.
         boost = _IS_LOGO_LANG[cand_ords] & (sums < 0.0)

@@ -180,20 +180,33 @@ def detect_language_with_rules(
     return L.UNKNOWN if first == UNKNOWN_ORD else L.LANGUAGES[first].name
 
 
-def filter_languages_by_rules(
+@lru_cache(maxsize=8)
+def _lang_masks(languages: frozenset[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(detector mask (NL,), script->langs matrix (N_SCRIPTS, NL))."""
+    det_mask = np.zeros(L.N_LANGUAGES, dtype=bool)
+    for name in languages:
+        det_mask[L.ORDINAL[name]] = True
+    script_langs = np.zeros((N_SCRIPTS, L.N_LANGUAGES), dtype=bool)
+    for lang in L.LANGUAGES:
+        for s in lang.scripts:
+            script_langs[SCRIPT_ID[s], lang.ordinal] = True
+    return det_mask, script_langs
+
+
+def filter_languages_mask(
     codes: np.ndarray,
     spans: np.ndarray,
     languages: tuple[str, ...] = _ALL_LANG_NAMES,
-) -> tuple[str, ...]:
-    """Candidate-language pruning; returns names in ordinal order."""
+) -> np.ndarray:
+    """Candidate-language pruning; returns a (N_LANGUAGES,) boolean mask."""
+    det_mask, script_langs = _lang_masks(frozenset(languages))
     sids_all = script_ids(codes)
     logo_all = is_logogram_char(codes)
 
     alphabet_votes = np.zeros(N_SCRIPTS, dtype=np.float64)
     adjusted_word_count = 0.0
-    word_uniform_sid = np.empty(len(spans), dtype=np.int64)
 
-    for i, (s, e) in enumerate(spans):
+    for s, e in spans:
         sids = sids_all[s:e]
         word_value = L.FULL_WORD_VALUE
         sid0 = sids[0]
@@ -201,48 +214,45 @@ def filter_languages_by_rules(
             if e - s == 1 and logo_all[s]:
                 word_value = L.LOGOGRAM_WORD_VALUE
             alphabet_votes[sid0] += word_value
-            word_uniform_sid[i] = sid0
-        else:
-            word_uniform_sid[i] = -1
         adjusted_word_count += word_value
 
-    lang_ords = np.array([L.ORDINAL[n] for n in languages], dtype=np.int64)
     if not alphabet_votes.any():
-        return tuple(languages)
+        return det_mask.copy()
 
     max_vote = alphabet_votes.max()
-    frequent_scripts = {
-        i
-        for i in range(N_SCRIPTS)
-        if alphabet_votes[i] / max_vote >= L.CLOSE_ALPHABET_RATIO
-        and alphabet_votes[i] > 0
-    }
-    filtered = [
-        name
-        for name in languages
-        if any(SCRIPT_ID[s] in frequent_scripts for s in L.BY_NAME[name].scripts)
-    ]
+    frequent = (alphabet_votes > 0) & (
+        alphabet_votes / max_vote >= L.CLOSE_ALPHABET_RATIO
+    )
+    filtered_mask = det_mask & script_langs[frequent].any(axis=0)
 
     # CHARS_TO_LANGUAGES counting: each language at most once per word
-    # (LanguageDetector.kt:518-535).
+    # (LanguageDetector.kt:518-535); words without mapped chars are skipped.
     c2l_table, c2l_groups = _chars_to_languages_table()
-    filtered_mask = np.zeros(L.N_LANGUAGES, dtype=bool)
-    for name in filtered:
-        filtered_mask[L.ORDINAL[name]] = True
-    lang_counts = np.zeros(L.N_LANGUAGES, dtype=np.int64)
     gids_all = c2l_table[np.minimum(codes, _MAX_CP - 1)]
-    for s, e in spans:
-        gids = gids_all[s:e]
-        gids = gids[gids >= 0]
-        if gids.size == 0:
-            continue
-        seen = np.zeros(L.N_LANGUAGES, dtype=bool)
-        for gid in gids:
-            ords = c2l_groups[gid]
-            sel = ords[filtered_mask[ords] & ~seen[ords]]
-            seen[sel] = True
-        lang_counts[seen] += 1
+    has_gid = gids_all >= 0
+    lang_counts = np.zeros(L.N_LANGUAGES, dtype=np.int64)
+    if has_gid.any():
+        for s, e in spans:
+            w = gids_all[s:e]
+            w = w[has_gid[s:e]]
+            if w.size == 0:
+                continue
+            seen = np.zeros(L.N_LANGUAGES, dtype=bool)
+            for gid in w:
+                ords = c2l_groups[gid]
+                sel = ords[filtered_mask[ords] & ~seen[ords]]
+                seen[sel] = True
+            lang_counts[seen] += 1
 
-    threshold = adjusted_word_count / 2.0
-    subset = [n for n in filtered if lang_counts[L.ORDINAL[n]] >= threshold]
-    return tuple(subset) if subset else tuple(filtered)
+    subset_mask = filtered_mask & (lang_counts >= adjusted_word_count / 2.0)
+    return subset_mask if subset_mask.any() else filtered_mask
+
+
+def filter_languages_by_rules(
+    codes: np.ndarray,
+    spans: np.ndarray,
+    languages: tuple[str, ...] = _ALL_LANG_NAMES,
+) -> tuple[str, ...]:
+    """Candidate-language pruning; returns names in ordinal order."""
+    mask = filter_languages_mask(codes, spans, languages)
+    return tuple(L.LANGUAGES[o].name for o in np.flatnonzero(mask))

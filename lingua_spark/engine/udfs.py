@@ -96,20 +96,22 @@ def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
 
     @F.pandas_udf(ASSESS_SCHEMA)
     def assess(texts: pd.Series) -> pd.DataFrame:
+        from ..quality import assess_batch
+        from .batch import BatchDetector
+
         models, weights, cfg = bc.value
-        det = Detector(
+        bdet = BatchDetector(
             models=models,
             languages=cfg.languages,
             minimum_relative_distance=cfg.minimum_relative_distance,
             low_accuracy=cfg.low_accuracy,
         )
         ft = FastTextish(weights=weights)
-        rows = []
-        for t in texts:
-            r = assess_text(t if isinstance(t, str) else "", det, ft, cfg)
+        clean = [t if isinstance(t, str) else "" for t in texts]
+        rows = assess_batch(clean, bdet, ft, cfg)
+        for r in rows:
             r["lang"] = _iso(r["lang"])
             r["ft_lang"] = _iso(r["ft_lang"])
-            rows.append(r)
         return pd.DataFrame(rows, columns=[f.name for f in ASSESS_SCHEMA.fields])
 
     return assess
@@ -125,17 +127,20 @@ def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):
 
     @F.pandas_udf(DETECT_SCHEMA)
     def detect(texts: pd.Series) -> pd.DataFrame:
+        from .batch import BatchDetector
+
         models, cfg = bc.value
-        det = Detector(
+        bdet = BatchDetector(
             models=models,
             languages=cfg.languages,
             minimum_relative_distance=cfg.minimum_relative_distance,
             low_accuracy=cfg.low_accuracy,
         )
+        clean = [t if isinstance(t, str) else "" for t in texts]
+        conf_rows = bdet.confidence_rows(clean)
+        names = bdet.decide_rows(conf_rows)
         out = []
-        for t in texts:
-            confs = det.confidence_values(t if isinstance(t, str) else "")
-            name = det.detect(t if isinstance(t, str) else "")
+        for name, confs in zip(names, conf_rows):
             top = confs[0][1] if confs and name != L.UNKNOWN else 0.0
             out.append(
                 {

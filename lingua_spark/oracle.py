@@ -85,7 +85,8 @@ class OracleDetector:
                 vec = np.array(
                     [backoff_log_freq(g, table) for g in grams], dtype=np.float64
                 )
-                s = float(np.sum(vec)) if vec.size else 0.0
+                # strict left-to-right sum (canonical order, see engine)
+                s = float(np.add.reduceat(vec, [0])[0]) if vec.size else 0.0
                 if s < 0.0 and lang in L.LANGUAGES_SUPPORTING_LOGOGRAMS:
                     s *= L.LOGOGRAM_PROBABILITY_BOOST
                 sums_by_lang_n[lang].append(s)

@@ -156,23 +156,26 @@ RESULT_FIELDS = [
 ]
 
 
-def assess_text(
+def _finish_assessment(
     text: str,
-    detector: Detector,
+    confs: list[tuple[str, float]],
+    min_rel_distance: float,
+    models: PackedModels,
     ft: FastTextish,
     config: QualityConfig,
 ) -> dict:
-    """Full per-turn assessment. Deterministic; identical in oracle + UDF."""
+    """Everything after detection: decision, cross-check, perplexity,
+    heuristics, scrub. Shared by the per-row and batch assessment paths so
+    their outputs are identical by construction."""
     from .core.text import clean_up
 
-    confs = detector.confidence_values(text)
     if not confs:
         lang, confidence = L.UNKNOWN, 0.0
     elif len(confs) == 1:
         lang, confidence = confs[0]
     else:
         first, second = confs[0][1], confs[1][1]
-        if first == second or (first - second) < detector.minimum_relative_distance:
+        if first == second or (first - second) < min_rel_distance:
             lang, confidence = L.UNKNOWN, 0.0
         else:
             lang, confidence = confs[0]
@@ -183,7 +186,7 @@ def assess_text(
 
     cleaned = clean_up(text)
     ppl = (
-        trigram_perplexity(cleaned, L.ORDINAL[lang], detector.models)
+        trigram_perplexity(cleaned, L.ORDINAL[lang], models)
         if lang != L.UNKNOWN
         else float("inf")
     )
@@ -212,7 +215,6 @@ def assess_text(
         flags.append("langid_disagree")
 
     scrubbed, n_scrubbed = scrub_text(text)
-    keep = not flags
     return {
         "lang": lang,
         "confidence": float(confidence),
@@ -221,7 +223,40 @@ def assess_text(
         "ft_lang": ft_lang,
         "langid_agree": bool(agree),
         "quality_flags": flags,
-        "keep": keep,
+        "keep": not flags,
         "scrubbed_text": scrubbed,
         "n_scrubbed": int(n_scrubbed),
     }
+
+
+def assess_batch(
+    texts: list[str],
+    batch_detector,
+    ft: FastTextish,
+    config: QualityConfig,
+) -> list[dict]:
+    """Batch assessment: vectorized detection (engine.batch), identical
+    per-row finishing. Output matches assess_text row for row."""
+    conf_rows = batch_detector.confidence_rows(texts)
+    return [
+        _finish_assessment(
+            t, confs, batch_detector.minimum_relative_distance,
+            batch_detector.models, ft, config,
+        )
+        for t, confs in zip(texts, conf_rows)
+    ]
+
+
+def assess_text(
+    text: str,
+    detector: Detector,
+    ft: FastTextish,
+    config: QualityConfig,
+) -> dict:
+    """Full per-turn assessment (per-row reference path; the Spark UDF uses
+    assess_batch, which must match this row for row)."""
+    confs = detector.confidence_values(text)
+    return _finish_assessment(
+        text, confs, detector.minimum_relative_distance,
+        detector.models, ft, config,
+    )

@@ -91,3 +91,33 @@ def test_minimum_relative_distance(packed_models):
             models=packed_models, minimum_relative_distance=min(0.99, gap + 0.001)
         )
         assert det_hi.detect(text) == "UNKNOWN"
+
+
+def test_batch_engine_exact_parity(packed_models):
+    """BatchDetector (cross-row vectorized) must match the per-row engine
+    bit-for-bit: same confidences, same decisions."""
+    from lingua_spark.engine.batch import BatchDetector
+
+    det = Detector(models=packed_models)
+    bdet = BatchDetector(models=packed_models)
+    acc = accuracy_corpus(per_category=3)
+    texts = acc.text.tolist() + ["", "3<856%)§", "びさ", "日本語です",
+                                 "this is a short test"]
+    batch = bdet.confidence_rows(texts)
+    names = bdet.decide_rows(batch)
+    for i, t in enumerate(texts):
+        assert det.confidence_values(t) == batch[i], t
+        assert det.detect(t) == names[i], t
+
+
+def test_batch_engine_subset_and_low_accuracy(packed_models):
+    from lingua_spark.engine.batch import BatchDetector
+
+    det = Detector(models=packed_models, languages=("ENGLISH", "GERMAN"))
+    bdet = BatchDetector(models=packed_models, languages=("ENGLISH", "GERMAN"))
+    texts = ["проарплап", "der große fluss", "the people of the year"]
+    assert bdet.detect_rows(texts) == [det.detect(t) for t in texts]
+    det_la = Detector(models=packed_models, low_accuracy=True)
+    bdet_la = BatchDetector(models=packed_models, low_accuracy=True)
+    texts2 = ["en", "a longer english sentence about people and time"]
+    assert bdet_la.detect_rows(texts2) == [det_la.detect(t) for t in texts2]
