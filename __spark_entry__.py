@@ -34,8 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.queries import (
         SQL_QUERIES,
+        ann_lsh_topk_query,
         detect_language_counts,
         make_sql_query,
+        multilang_sections_summary,
         quality_pipeline_summary,
     )
 
@@ -44,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["detect_language_counts"] = detect_language_counts
     out["quality_pipeline_summary"] = quality_pipeline_summary
+    out["multilang_sections"] = multilang_sections_summary
+    out["ann_lsh_topk"] = ann_lsh_topk_query
     return out
 
 

@@ -39,6 +39,10 @@ HEADLINE_QUERIES = [
     "quality_keep_sql",
 ]
 N_BENCH_TURNS = 60_000
+# scaling evidence needs a compute-dominant workload: at 60k turns the
+# fixed costs (shuffle of tiny rows, scheduling, stragglers) mask the
+# UDF-stage parallelism, understating the 8->32 speedup
+N_SCALING_TURNS = 240_000
 
 
 def _session(master: str):
@@ -77,6 +81,11 @@ def _bench_pipeline(spark, n_turns: int = N_BENCH_TURNS) -> tuple[float, float]:
     df = df.persist()
     n = df.count()
     assessed = assess_turns(spark, with_stable_order(df), None, 64)
+    # warm the Python workers (imports + table loads) before timing —
+    # steady-state throughput is what scales to a long-running cluster job
+    assess_turns(spark, df.sample(0.02), None, 64).write.format("noop").mode(
+        "overwrite"
+    ).save()
     t0 = time.time()
     assessed.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
@@ -111,7 +120,7 @@ def scaling() -> None:
     results = {}
     for cores in (8, 32):
         spark = _session(f"local[{cores}]")
-        sec, tps = _bench_pipeline(spark)
+        sec, tps = _bench_pipeline(spark, n_turns=N_SCALING_TURNS)
         spark.stop()
         results[cores] = {"sec": round(sec, 3), "turns_per_sec": round(tps, 1)}
     speedup = results[32]["turns_per_sec"] / results[8]["turns_per_sec"]
@@ -122,7 +131,7 @@ def scaling() -> None:
                 "metric": "scaling_efficiency_8_to_32_cores",
                 "value": round(eff, 4),
                 "unit": "fraction",
-                "n_turns": N_BENCH_TURNS,
+                "n_turns": N_SCALING_TURNS,
                 "local8": results[8],
                 "local32": results[32],
                 "speedup": round(speedup, 3),

@@ -77,8 +77,15 @@ def assess_turns(
     df: DataFrame,
     config: QualityConfig | None = None,
     n_partitions: int = 64,
+    compute_partitions: int | None = None,
 ) -> DataFrame:
+    """``compute_partitions`` sizes the Arrow-UDF stage by CPU cost, not
+    bytes: AQE coalesces small shuffle outputs by size, which would starve
+    the (compute-dense, byte-light) detection stage of parallelism."""
     assess = make_assess_udf(spark, config)
+    if compute_partitions is None:
+        compute_partitions = spark.sparkContext.defaultParallelism * 2
+    df = df.repartition(compute_partitions)
     out = (
         df.withColumn(
             "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions))

@@ -44,6 +44,19 @@ ASSESS_SCHEMA = StructType(
     ]
 )
 
+SECTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("letters_count", IntegerType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("confidences", MapType(StringType(), DoubleType())),
+        ]
+    )
+)
+
 DETECT_SCHEMA = StructType(
     [
         StructField("lang", StringType()),
@@ -115,6 +128,50 @@ def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
         return pd.DataFrame(rows, columns=[f.name for f in ASSESS_SCHEMA.fields])
 
     return assess
+
+
+def make_multilang_udf(spark: SparkSession, config: QualityConfig | None = None):
+    """detectMultiLanguageOf as a pandas UDF (U3): text -> array of
+    LanguageSection structs."""
+    from ..resources import packed_models
+
+    ship_package(spark)
+    config = config or QualityConfig()
+    bc = spark.sparkContext.broadcast((packed_models(), config))
+
+    @F.pandas_udf(SECTION_SCHEMA)
+    def detect_multi(texts: pd.Series) -> pd.Series:
+        from ..core.multilang import detect_multi_language
+
+        models, cfg = bc.value
+        det = Detector(
+            models=models,
+            languages=cfg.languages,
+            minimum_relative_distance=cfg.minimum_relative_distance,
+            low_accuracy=cfg.low_accuracy,
+        )
+        out = []
+        for t in texts:
+            secs = detect_multi_language(t if isinstance(t, str) else "", det)
+            out.append(
+                [
+                    {
+                        "start": s["start"],
+                        "end": s["end"],
+                        "letters_count": s["letters_count"],
+                        "text": s["text"],
+                        "lang": _iso(s["lang"]),
+                        "confidences": {
+                            L.BY_NAME[k].iso1: v
+                            for k, v in s["confidences"].items()
+                        },
+                    }
+                    for s in secs
+                ]
+            )
+        return pd.Series(out)
+
+    return detect_multi
 
 
 def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):

@@ -105,7 +105,32 @@ def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
 
 
 def _minhash_lsh_pairs(dialect: str) -> str:
+    """Band-bucket candidate pairs. The two dialects use different physical
+    shapes on purpose: Spark inlines CTEs, so a bands self-join would
+    re-evaluate the signature CTE on every reference (8x) — instead bucket
+    doc ids per band key (one signature pass, one shuffle) and explode the
+    pairs within buckets. DuckDB materializes multi-referenced CTEs, so the
+    plain self-join is fine there. Results are identical."""
     sig = _minhash_sig(dialect)
+    if dialect == "spark":
+        band_arr = ", ".join(f"md5(h{2 * b - 1} || h{2 * b})" for b in range(1, 5))
+        return f"""
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, b.band, b.bkey FROM sig
+  LATERAL VIEW posexplode(array({band_arr})) b AS band, bkey
+),
+buckets AS (
+  SELECT band, bkey, sort_array(collect_list(doc_id)) AS ids
+  FROM bands GROUP BY band, bkey
+  HAVING size(collect_list(doc_id)) > 1
+)
+SELECT DISTINCT a AS doc_a, b AS doc_b
+FROM buckets
+LATERAL VIEW explode(ids) ea AS a
+LATERAL VIEW explode(ids) eb AS b
+WHERE a < b
+"""
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(h{2 * b - 1} || h{2 * b}) AS bkey FROM sig"
         for b in range(1, 5)
@@ -456,6 +481,32 @@ def detect_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.lang").alias("detected_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def multilang_sections_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detectMultiLanguageOf (U3, ops W1-W4) over documents: per-doc section
+    count + dominant section language (rows-only check; the per-section
+    semantics are pinned by tests/test_multilang.py)."""
+    from ..engine.udfs import make_multilang_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    udf = make_multilang_udf(spark)
+    return (
+        docs.withColumn("sections", udf(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("sections").alias("n_sections"),
+            F.element_at(F.col("sections.lang"), 1).alias("first_section_lang"),
+        )
+    )
+
+
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path of sim_cosine_topk; rows-only check,
+    recall vs brute force asserted in tests/test_ops.py)."""
+    from .similarity import ann_lsh_topk
+
+    return ann_lsh_topk(spark, sf_dir)
 
 
 def quality_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Multi-language section detection (U3, ops W1-W4).
+
+Structural behavior ported from the reference's multi-language goldens
+(`LanguageDetector_Test.kt:82-156`): section spans, script splits, quote
+boundaries, short-section handling. Language identity for shared-script
+text depends on our trained models, so those assertions are structural
+(span + script-unique languages), not label-exact vs the JVM.
+"""
+
+import numpy as np
+import pytest
+
+from lingua_spark.core.multilang import (
+    detect_multi_language,
+    is_potential_language_boundary,
+    split_potential_sections,
+)
+
+
+@pytest.fixture(scope="module")
+def det(packed_models):
+    from lingua_spark.core.detector import Detector
+
+    return Detector(models=packed_models)
+
+
+def test_boundary_chars():
+    assert is_potential_language_boundary(":", "a", "b")
+    assert is_potential_language_boundary("\n", "a", "b")
+    assert is_potential_language_boundary('"', "a", "b")
+    assert is_potential_language_boundary("«", "a", "b")
+    # apostrophe between letters is NOT a boundary (don't, l'eau)
+    assert not is_potential_language_boundary("'", "n", "t")
+    assert is_potential_language_boundary("'", " ", "t")
+    assert not is_potential_language_boundary(",", "a", "b")
+
+
+def test_split_sections_script_change():
+    # mid-split end = index of the first letter of the next script
+    # (MultiLanguageDetection.kt:205-212), so intervening spaces are
+    # included in the preceding section's span
+    secs = split_potential_sections("english текст here")
+    spans = [(s.start, s.end) for s in secs]
+    assert spans == [(0, 8), (8, 14), (14, 18)]
+    # letters-only counts
+    assert [s.letters_count for s in secs] == [7, 5, 4]
+
+
+def test_split_min_section_length():
+    # sections shorter than 3 letters don't split on script change
+    secs = split_potential_sections("ab текст")
+    assert len(secs) == 1  # 'ab' (2 letters) absorbed until script change
+    assert secs[0].letters_count == 7
+    # but logograms always split
+    secs2 = split_potential_sections("日 english")
+    assert [(s.start, s.end) for s in secs2] == [(0, 2), (2, 9)]
+    assert [s.letters_count for s in secs2] == [1, 7]
+
+
+def test_split_on_quotes():
+    secs = split_potential_sections('he said: "вопрос"')
+    assert [(s.start, s.end) for s in secs] == [(0, 7), (10, 16)]
+
+
+def test_no_letters_empty(det):
+    assert detect_multi_language("", det) == []
+    assert detect_multi_language("... 123 !!!", det) == []
+
+
+def test_script_unique_sections(det):
+    secs = detect_multi_language(
+        'He asked loudly: "Ελληνικά είναι ωραία" and left.', det
+    )
+    assert len(secs) == 3
+    assert secs[1]["lang"] == "GREEK"
+    assert secs[1]["confidences"] == {"GREEK": 1.0}
+    # spans cover first/last letters of each section
+    for s in secs:
+        assert s["letters_count"] >= 3
+        assert s["text"] == s["text"].strip(":\" ")
+
+
+def test_cjk_sections(det):
+    secs = detect_multi_language("日本語のテキスト and english words here", det)
+    assert secs[0]["lang"] == "JAPANESE"
+    assert secs[0]["start"] == 0
+
+
+def test_same_language_sections_merge(det):
+    # colon boundary inside a single-language text: sections share
+    # high-confidence languages and merge back (W4)
+    secs = detect_multi_language("σημείωση: ελληνικό κείμενο εδώ", det)
+    assert len(secs) == 1
+    assert secs[0]["lang"] == "GREEK"
+
+
+def test_multilang_udf(spark, det):
+    import pandas as pd
+
+    from lingua_spark.engine.udfs import make_multilang_udf
+    from pyspark.sql import functions as F
+
+    udf = make_multilang_udf(spark)
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "text": ['x: "Ελληνικά κείμενο" y', "plain text"]}
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .withColumn("sections", udf(F.col("text")))
+        .toPandas()
+    )
+    # Spark result matches the local per-row pipeline
+    local = detect_multi_language(pdf.text[0], det)
+    got = out.sections[0]
+    assert len(got) == len(local)
+    assert [s["start"] for s in got] == [s["start"] for s in local]
