@@ -36,8 +36,10 @@ from ..uniscript import CAT_LETTER, cat_ids, codes_of
 _ALL = tuple(l.name for l in L.LANGUAGES)
 _NL = L.N_LANGUAGES
 
-# rows per scoring chunk: bounds the (windows x languages) float32 gather
-CHUNK_ROWS = 2048
+# rows per scoring chunk: bounds the (windows x languages) gathers so the
+# per-chunk temporaries stay cache-resident (512 rows ≈ 25k distinct
+# windows x ~50 candidate columns; measured faster than 2048-row chunks)
+CHUNK_ROWS = 512
 
 
 def _batch_windows(
