@@ -97,6 +97,24 @@ def ship_package(spark: SparkSession) -> None:
     sc._lingua_spark_shipped = True
 
 
+_LIVE_BROADCASTS: list = []
+
+
+def unload_models(spark: SparkSession) -> int:
+    """Model lifecycle (U5 analog of `LanguageDetector.kt:661-677`,
+    `unloadLanguageModels`): unpersist every model broadcast created by the
+    UDF factories in this session. Returns the number released."""
+    n = 0
+    while _LIVE_BROADCASTS:
+        bc = _LIVE_BROADCASTS.pop()
+        try:
+            bc.unpersist(blocking=False)
+            n += 1
+        except Exception:  # noqa: BLE001 — already destroyed / session gone
+            pass
+    return n
+
+
 def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
     """Returns a pandas UDF text -> assessment struct, models broadcast once."""
     from ..resources import fasttextish, packed_models
@@ -106,6 +124,7 @@ def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
     bc = spark.sparkContext.broadcast(
         (packed_models(), fasttextish().weights, config)
     )
+    _LIVE_BROADCASTS.append(bc)
 
     @F.pandas_udf(ASSESS_SCHEMA)
     def assess(texts: pd.Series) -> pd.DataFrame:
@@ -138,6 +157,7 @@ def make_multilang_udf(spark: SparkSession, config: QualityConfig | None = None)
     ship_package(spark)
     config = config or QualityConfig()
     bc = spark.sparkContext.broadcast((packed_models(), config))
+    _LIVE_BROADCASTS.append(bc)
 
     @F.pandas_udf(SECTION_SCHEMA)
     def detect_multi(texts: pd.Series) -> pd.Series:
@@ -181,6 +201,7 @@ def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):
     ship_package(spark)
     config = config or QualityConfig()
     bc = spark.sparkContext.broadcast((packed_models(), config))
+    _LIVE_BROADCASTS.append(bc)
 
     @F.pandas_udf(DETECT_SCHEMA)
     def detect(texts: pd.Series) -> pd.DataFrame:

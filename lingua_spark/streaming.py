@@ -66,6 +66,68 @@ def run_stream_once(
     q.awaitTermination()
 
 
+def stateful_conversation_tracker(
+    spark: SparkSession,
+    input_dir: str,
+    config: QualityConfig | None = None,
+    drop_streak_limit: int = 3,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): tracks
+    per-conversation running keep/drop counts and the current consecutive-
+    drop streak across micro-batches; a conversation whose streak reaches
+    ``drop_streak_limit`` is flagged for quarantine. The reference has no
+    streaming at all (SURVEY.md §2 'not present'); this is the north-rule
+    deployment shape for continuously arriving turns."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    assessed = stream_assess(spark, input_dir, config)
+
+    out_schema = (
+        "conv_id string, turns long, kept long, dropped long,"
+        " drop_streak long, quarantined boolean"
+    )
+    state_schema = "turns long, kept long, streak long"
+
+    def track(key, pdfs, state: GroupState):
+        turns = kept = streak = 0
+        if state.exists:
+            turns, kept, streak = state.get
+        for pdf in pdfs:
+            # stable order within the micro-batch
+            pdf = pdf.sort_values("turn_idx")
+            for k in pdf["keep"]:
+                turns += 1
+                if k:
+                    kept += 1
+                    streak = 0
+                else:
+                    streak += 1
+        state.update((turns, kept, streak))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns": [turns],
+                "kept": [kept],
+                "dropped": [turns - kept],
+                "drop_streak": [streak],
+                "quarantined": [streak >= drop_streak_limit],
+            }
+        )
+
+    return (
+        assessed.groupBy("conv_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_keep_metrics(
     spark: SparkSession,
     input_dir: str,

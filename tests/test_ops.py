@@ -79,3 +79,42 @@ def test_streaming_available_now(spark, tmp_path):
     # restart with no new data processes nothing new but succeeds
     run_stream_once(spark, str(src), str(outd), str(ckpt))
     assert spark.read.parquet(str(outd)).count() == len(pdf)
+
+
+def test_stateful_conversation_tracker(spark, tmp_path):
+    import pandas as pd
+
+    from lingua_spark.streaming import stateful_conversation_tracker
+
+    # conversation with a run of droppable turns
+    rows = []
+    for i, text in enumerate(
+        ["the people of the year would have time", "!!!", "???", "...",
+         "another good turn with many words here"]
+    ):
+        rows.append(("c1", i, "user", text, "", pd.Timestamp("2025-01-01")
+                     + pd.Timedelta(minutes=i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"]).astype({"turn_idx": "int32"})
+    src = tmp_path / "in"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    out = stateful_conversation_tracker(spark, str(src))
+    q = (out.writeStream.format("memory").queryName("convtrack")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select * from convtrack").toPandas()
+    assert len(got) >= 1
+    final = got.iloc[-1]
+    assert final.turns == 5
+    assert final.dropped == 3
+    # streak broke on the last good turn
+    assert final.drop_streak == 0
+    assert not final.quarantined
+
+
+def test_unload_models(spark):
+    from lingua_spark.engine.udfs import make_detect_udf, unload_models
+
+    make_detect_udf(spark)
+    assert unload_models(spark) >= 1
+    assert unload_models(spark) == 0
