@@ -8,8 +8,6 @@ processed as pandas/NumPy (input_hint requirement).
 
 from __future__ import annotations
 
-from dataclasses import replace
-
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -27,7 +25,7 @@ from pyspark.sql.types import (
 from .. import langdata as L
 from ..core.detector import Detector
 from ..ftlangid import FastTextish
-from ..quality import QualityConfig, assess_text
+from ..quality import QualityConfig
 
 ASSESS_SCHEMA = StructType(
     [
