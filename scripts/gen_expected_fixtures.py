@@ -1,0 +1,140 @@
+"""Generate expected-output Parquet fixtures for the four non-SQL queries
+so the driver's DuckDB oracle gate can check them (VERDICT r01 item 2):
+
+- ann_lsh_topk            <- NumPy re-computation (ops.similarity.expected_ann_topk)
+- detect_language_counts  <- pure-Python dict oracle (lingua_spark.oracle)
+- quality_pipeline_summary<- dict-oracle detection + shared quality functions
+- multilang_sections      <- core.multilang over the per-row Detector
+
+Each fixture is the expected result at ONE sf dir (the driver runs the
+correctness gate at sf0.01). oracle_sql() for these queries is then
+``SELECT ... FROM read_parquet('<fixture>')``. The expectations are
+computed WITHOUT Spark — the gate therefore checks the whole Spark
+distribution layer (UDFs, broadcasts, shuffles) against an independent
+single-process computation.
+
+Usage: python scripts/gen_expected_fixtures.py [sf_dir] [out_dir]
+Re-run after regenerating models/corpora (model-dependent fixtures change).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+OUT_DIR = Path(sys.argv[2] if len(sys.argv) > 2 else REPO / "tests" / "fixtures")
+
+
+def iso(name: str) -> str:
+    from lingua_spark import langdata as L
+
+    return "unknown" if name == L.UNKNOWN else L.BY_NAME[name].iso1
+
+
+def gen_ann() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_ann_topk
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_ann_topk(emb)
+
+
+def gen_detect_counts(docs: pd.DataFrame) -> pd.DataFrame:
+    from lingua_spark.oracle import OracleDetector
+    from lingua_spark.resources import oracle_tables
+
+    ora = OracleDetector(tables=oracle_tables())
+    langs = [iso(ora.detect(t)) for t in docs["text"]]
+    out = (
+        pd.Series(langs, name="detected_lang")
+        .value_counts()
+        .rename_axis("detected_lang")
+        .reset_index(name="n_docs")
+    )
+    return out[["detected_lang", "n_docs"]]
+
+
+def gen_quality_summary(docs: pd.DataFrame) -> pd.DataFrame:
+    """Replicates documents_as_transcripts + assess_turns + groupBy(lang):
+    detection via the dict oracle, finishing via the shared quality
+    functions (quality._finish_assessment — same code the UDF runs, fed
+    with oracle confidences)."""
+    from lingua_spark.oracle import OracleDetector
+    from lingua_spark.quality import QualityConfig, _finish_assessment
+    from lingua_spark.resources import fasttextish, oracle_tables, packed_models
+
+    ora = OracleDetector(tables=oracle_tables())
+    models = packed_models()
+    ft = fasttextish()
+    cfg = QualityConfig()
+    rows = []
+    # documents_as_transcripts: conv = doc_id % 50, turn = doc_id / 50 —
+    # every (conv, turn) is unique, so stable-order dedup keeps all rows.
+    for text in docs["text"]:
+        confs = ora.confidence_values(text if isinstance(text, str) else "")
+        r = _finish_assessment(
+            text if isinstance(text, str) else "",
+            confs,
+            cfg.minimum_relative_distance,
+            models,
+            ft,
+            cfg,
+        )
+        rows.append(
+            (
+                iso(r["lang"]),
+                1,
+                int(bool(r["keep"])),
+                int(r["n_scrubbed"] > 0),
+            )
+        )
+    df = pd.DataFrame(rows, columns=["lang", "n_turns", "kept", "scrubbed"])
+    return (
+        df.groupby("lang", as_index=False)
+        .sum()
+        .astype({"n_turns": "int64", "kept": "int64", "scrubbed": "int64"})
+    )
+
+
+def gen_multilang(docs: pd.DataFrame) -> pd.DataFrame:
+    from lingua_spark.core.detector import Detector
+    from lingua_spark.core.multilang import detect_multi_language
+    from lingua_spark.resources import packed_models
+
+    det = Detector(models=packed_models())
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        secs = detect_multi_language(text if isinstance(text, str) else "", det)
+        first = iso(secs[0]["lang"]) if secs else None
+        rows.append((int(doc_id), len(secs), first))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_sections", "first_section_lang"]
+    ).astype({"doc_id": "int64", "n_sections": "int32"})
+
+
+def main() -> None:
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    docs = pd.read_parquet(SF_DIR / "documents.parquet")
+    targets = {
+        "ann_lsh_topk": gen_ann,
+        "detect_language_counts": lambda: gen_detect_counts(docs),
+        "quality_pipeline_summary": lambda: gen_quality_summary(docs),
+        "multilang_sections": lambda: gen_multilang(docs),
+    }
+    only = set(sys.argv[3:]) if len(sys.argv) > 3 else None
+    for name, fn in targets.items():
+        if only and name not in only:
+            continue
+        df = fn()
+        path = OUT_DIR / f"expected_{name}.parquet"
+        df.to_parquet(path, index=False)
+        print(f"wrote {path} rows={len(df)} cols={list(df.columns)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,13 +35,13 @@ def norm_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
     from lingua_spark.engine.pipeline import build_session
-    from lingua_spark.ops.queries import SQL_QUERIES, TABLES, register_views
+    from lingua_spark.ops.queries import TABLES
 
     only = set(sys.argv[2:])
     spark = build_session(app="validate-oracles", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    register_views(spark, sf_dir)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -49,12 +49,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
     failures = 0
-    for name, (ssql, dsql) in SQL_QUERIES.items():
+    for name, fn in queries.items():
         if only and name not in only:
             continue
+        dsql = oracles.get(name)
+        if dsql is None:
+            print(f"SKIP {name}: no oracle (rows-only at the driver)")
+            continue
         try:
-            sdf = spark.sql(ssql).toPandas()
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1

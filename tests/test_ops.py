@@ -4,27 +4,57 @@ import numpy as np
 import pytest
 
 
-def test_ann_lsh_topk_subset_of_bruteforce(spark):
+@pytest.mark.parametrize("sf", ["0.001", "0.1"])
+def test_ann_lsh_topk_recall(spark, sf):
+    """ANN must actually retrieve neighbors: mean recall@3 vs the
+    brute-force baseline >= 0.8 (VERDICT r01 item 1 — the round-1 version
+    returned 0 rows and only asserted checked > 0). Deterministic: fixed
+    planes, fixed data => recall is a constant (1.00 at sf0.001, 0.917 at
+    sf0.1)."""
     from lingua_spark.ops.queries import SQL_QUERIES, register_views
     from lingua_spark.ops.similarity import ann_lsh_topk
 
-    sf = "/root/testdata/sf0.001"
-    register_views(spark, sf)
+    sfd = f"/root/testdata/sf{sf}"
+    register_views(spark, sfd)
     brute = spark.sql(SQL_QUERIES["sim_cosine_topk"][0]).toPandas()
-    ann = ann_lsh_topk(spark, sf).toPandas()
+    ann = ann_lsh_topk(spark, sfd).toPandas()
     assert set(ann.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
-    # every ANN hit must be a real pair with the same cosine as brute force
     brute_scores = {
         (r.query_id, r.neighbor_id): r.cosine for r in brute.itertuples()
     }
-    checked = 0
+    # every ANN hit that is a true-top-k pair must carry the same cosine
     for r in ann.itertuples():
         if (r.query_id, r.neighbor_id) in brute_scores:
             assert brute_scores[(r.query_id, r.neighbor_id)] == pytest.approx(
                 r.cosine, abs=1e-4
             )
-            checked += 1
-    assert checked > 0  # buckets recall at least part of the true top-k
+    bt = brute.groupby("query_id").neighbor_id.apply(set)
+    at = ann.groupby("query_id").neighbor_id.apply(set)
+    recalls = [len(bt[q] & at.get(q, set())) / len(bt[q]) for q in bt.index]
+    assert np.mean(recalls) >= 0.8
+
+
+def test_ann_lsh_topk_matches_numpy_expectation(spark):
+    """The Spark plan must reproduce the independent NumPy re-computation
+    exactly — same planes, probes, HALF_UP rounding, tie-breaks. This is
+    the same function that generates the driver's fixture oracle."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import ann_lsh_topk, expected_ann_topk
+
+    sfd = "/root/testdata/sf0.001"
+    got = (
+        ann_lsh_topk(spark, sfd)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        expected_ann_topk(pd.read_parquet(f"{sfd}/embeddings.parquet"))
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
 
 
 def test_multimodal_feature_plumbing(spark):
@@ -56,8 +86,9 @@ def test_entry_contract(spark):
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # non-SQL queries present but without oracle (weaker rows-only check)
-    assert "detect_language_counts" in q and "detect_language_counts" not in o
+    # every query — including the non-SQL detector/ANN ones — has an oracle
+    assert set(o) == set(q)
+    assert "read_parquet" in o["detect_language_counts"]
     # spot-run one query
     out = q["dedup_exact"](spark, "/root/testdata/sf0.001").toPandas()
     assert {"text_key", "keep_doc_id", "dup_count"} == set(out.columns)
