@@ -77,8 +77,9 @@ def _bench_pipeline(spark, n_turns: int = N_BENCH_TURNS) -> tuple[float, float]:
     from lingua_spark.engine.pipeline import assess_turns, with_stable_order
 
     pdf = transcripts(n_turns=n_turns)
-    df = spark.createDataFrame(pdf).repartition(int(CPUS) * 2, "conv_id")
-    df = df.persist()
+    # no input repartition: with_stable_order owns the (single) shuffle,
+    # keyed and sized off the session's actual parallelism
+    df = spark.createDataFrame(pdf).persist()
     n = df.count()
     assessed = assess_turns(spark, with_stable_order(df), None, 64)
     # One full warm-up pass (Python worker imports/caches, JVM JIT, Arrow

@@ -98,11 +98,16 @@ def _seg_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     nonempty = starts < offsets[1:]
     if not nonempty.any():
         return out
-    # reduceat quirk: an index equal to len gives IndexError; empty segments
-    # (start == next start) return values[start] — mask them to zero after.
-    idx = np.minimum(starts, values.shape[0] - 1)
-    out = np.add.reduceat(values, idx, axis=0)  # (R, C)
-    out[~nonempty] = 0.0
+    # Reduceat ONLY over nonempty segment starts: they are strictly
+    # increasing and all < len(values), and each nonempty segment's true
+    # end equals the next nonempty start (empty rows in between contribute
+    # no indices), so every reduceat slice is exactly one row's windows.
+    # (The previous implementation clamped out-of-range starts of TRAILING
+    # empty rows to len-1, which silently truncated the last nonempty
+    # row's segment by one window — a latent parity bug vs the per-row
+    # engine, exposed by the round-2 model regen.)
+    ne_idx = np.flatnonzero(nonempty)
+    out[ne_idx] = np.add.reduceat(values, starts[ne_idx], axis=0)
     return out
 
 
@@ -179,11 +184,16 @@ def score_rows_batch(
         sums_by_n[n] = sums_n
         if n == 1:
             # unigram count restriction (LanguageDetector.kt:262-277):
-            # per row, count only languages with nonzero n=1 probability
-            # (if any); implemented as masking counts.
-            nonzero1 = sums_n != 0.0
+            # per row, count only CANDIDATE languages with nonzero n=1
+            # probability (if any candidate has one). Must be restricted to
+            # the row's own candidate mask: sums for chunk-union columns
+            # outside this row's candidates are populated too, and letting
+            # them into the any()/eligible logic diverges from the per-row
+            # engine (found by test_batch_engine_exact_parity after the
+            # round-2 model regen).
+            nonzero1 = (sums_n != 0.0) & cand_masks
             any_nz = nonzero1.any(axis=1)
-            eligible = np.where(any_nz[:, None], nonzero1, True)
+            eligible = np.where(any_nz[:, None], nonzero1, cand_masks)
             unigram_counts = np.where(eligible, unigram_counts, 0)
 
     for n in sorted(sums_by_n):
@@ -215,15 +225,20 @@ class BatchDetector:
         self.low_accuracy = low_accuracy
 
     def confidence_rows(
-        self, texts: list[str]
+        self, texts: list[str], cleaned_list: list[str] | None = None
     ) -> list[list[tuple[str, float]]]:
+        """``cleaned_list`` lets assess_batch share one clean_up pass per
+        row across detection / langid / perplexity (must equal
+        ``[clean_up(t) for t in texts]``)."""
         R = len(texts)
         results: list[list[tuple[str, float]]] = [[] for _ in range(R)]
         to_score_idx: list[int] = []
         to_score_cleaned: list[str] = []
         cand_masks: list[np.ndarray] = []
         for i, text in enumerate(texts):
-            cleaned = clean_up(text)
+            cleaned = (
+                cleaned_list[i] if cleaned_list is not None else clean_up(text)
+            )
             if cleaned == "" or not (
                 cat_ids(codes_of(cleaned)) == CAT_LETTER
             ).any():

@@ -56,13 +56,31 @@ class FastTextish:
 
     def predict_ord(self, text: str) -> int:
         """Ordinal of the predicted language, or -1 for no evidence."""
-        b = _buckets(clean_up(text))
+        return self.predict_ord_cleaned(clean_up(text))
+
+    def predict_ord_cleaned(self, cleaned: str) -> int:
+        b = _buckets(cleaned)
         if b.size == 0:
             return -1
         scores = self.weights[b.astype(np.int64)].sum(
             axis=0, dtype=np.float64
         )
         return int(np.argmax(scores))  # argmax ties -> lowest ordinal
+
+    def predict_ords(self, cleaned_list: list[str]) -> np.ndarray:
+        """Per-row prediction for a batch of already-cleaned texts.
+
+        Deliberately a plain loop: a batched variant (cross-row bucket
+        blob + one large weight gather per ~250k windows) was built and
+        MEASURED 15x SLOWER in this environment — large fancy-index
+        gathers / fresh temporaries pay a pathological first-touch
+        page-fault cost (~0.6 ms/page, ~100x normal), while the per-row
+        (windows, N_LANGUAGES) gathers stay in warm allocator pages. See
+        BENCH/BASELINE.md."""
+        out = np.full(len(cleaned_list), -1, dtype=np.int64)
+        for i, c in enumerate(cleaned_list):
+            out[i] = self.predict_ord_cleaned(c)
+        return out
 
     def predict(self, text: str) -> str:
         o = self.predict_ord(text)

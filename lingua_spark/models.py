@@ -128,6 +128,63 @@ class PackedModels:
         )
 
 
+@dataclass
+class DictBackedModels:
+    """Alternative lookup backend — the ``withIncreasedDetectionSpeed``
+    trade (`api/LanguageDetectorBuilder.kt:141-144`,
+    `internal/model/lookup/UniBiTrigramLookup.kt:216-225`): swap the
+    sorted-array binary search for a prebuilt hash-dict index (more driver
+    memory, O(1) per probe). Returns values identical to
+    ``PackedModels.lookup`` — same freqs matrices, same miss semantics —
+    so every parity test holds on both backends (tests/test_parity.py).
+
+    Benchmark verdict (BENCH/BASELINE.md): on this environment the
+    vectorized ``np.searchsorted`` path is FASTER for the batch sizes the
+    engine actually issues (hundreds-to-thousands of probes per call),
+    because the dict path pays a per-element Python round trip. The
+    ``QualityConfig.increased_detection_speed`` flag therefore selects
+    this backend only for API parity; the default is the measured winner.
+    """
+
+    base: PackedModels
+    index: dict[int, dict[int, int]]  # n -> hash -> row in freqs[n]
+
+    @classmethod
+    def from_packed(cls, base: PackedModels) -> "DictBackedModels":
+        index = {
+            n: {int(h): i for i, h in enumerate(keys)}
+            for n, keys in base.keys.items()
+        }
+        return cls(base=base, index=index)
+
+    def lookup(
+        self, n: int, hashes: np.ndarray, cols: np.ndarray | None = None
+    ) -> np.ndarray:
+        ncols = L.N_LANGUAGES if cols is None else len(cols)
+        if hashes.size == 0 or not self.index.get(n):
+            return np.zeros((hashes.size, ncols), dtype=np.float32)
+        idx = self.index[n]
+        rows = np.fromiter(
+            (idx.get(int(h), -1) for h in hashes),
+            dtype=np.int64,
+            count=hashes.size,
+        )
+        found = rows >= 0
+        rows_c = np.maximum(rows, 0)
+        if cols is None:
+            out = self.base.freqs[n][rows_c]
+        else:
+            out = self.base.freqs[n][rows_c[:, None], cols[None, :]]
+        return np.where(found[:, None], out, np.float32(0.0))
+
+    def nbytes(self) -> int:
+        import sys
+
+        return self.base.nbytes() + sum(
+            sys.getsizeof(d) for d in self.index.values()
+        )
+
+
 def to_oracle_dicts(df: pd.DataFrame) -> dict[str, dict[int, dict[str, float]]]:
     """lang -> n -> ngram -> float32 frequency (pure-Python oracle form)."""
     out: dict[str, dict[int, dict[str, float]]] = {}

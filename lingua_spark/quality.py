@@ -98,6 +98,26 @@ def text_stats(text: str) -> dict[str, float]:
 MISS_LOG_PROB = float(np.log(np.float64(1e-9)))
 
 
+def trigram_perplexity_batch(
+    cleaned_list: list[str],
+    lang_ords: list[int],
+    models: PackedModels,
+) -> np.ndarray:
+    """Per-row perplexity for a batch; ``lang_ords[i] < 0`` -> inf.
+
+    Deliberately a plain loop: a cross-row blob variant (one concatenated
+    window stream + three batched lookups) was built and MEASURED 3.6x
+    SLOWER in this environment — large fresh NumPy temporaries pay a
+    pathological first-touch page-fault cost (~0.6 ms/page measured,
+    ~100x normal), so big gather outputs lose to small per-row working
+    sets that stay in warm allocator pages. See BENCH/BASELINE.md."""
+    out = np.full(len(cleaned_list), np.inf, dtype=np.float64)
+    for i, (c, o) in enumerate(zip(cleaned_list, lang_ords)):
+        if o >= 0:
+            out[i] = trigram_perplexity(c, o, models)
+    return out
+
+
 def trigram_perplexity(cleaned: str, lang_ord: int, models: PackedModels) -> float:
     """exp(mean negative trigram log-likelihood) under the detected
     language's model, with the detector's prefix backoff; misses get a
@@ -145,6 +165,12 @@ class QualityConfig:
     require_langid_agreement: bool = False  # advisory flag by default
     minimum_relative_distance: float = 0.0
     low_accuracy: bool = False
+    # withIncreasedDetectionSpeed analog (LanguageDetectorBuilder.kt:141-144):
+    # swaps the frequency-lookup backend for a prebuilt dict index
+    # (models.DictBackedModels). Identical results on both backends; the
+    # benchmark in BENCH/BASELINE.md picked searchsorted as this
+    # environment's default.
+    increased_detection_speed: bool = False
     languages: tuple[str, ...] = field(
         default_factory=lambda: tuple(l.name for l in L.LANGUAGES)
     )
@@ -156,6 +182,22 @@ RESULT_FIELDS = [
 ]
 
 
+def decide_confidences(
+    confs: list[tuple[str, float]], min_rel_distance: float
+) -> tuple[str, float]:
+    """Top-2 decision (LanguageDetector.kt:121-135): the shared helper for
+    every assessment path, so the batch path's precomputed perplexity is
+    keyed by exactly the decision _finish_assessment would make."""
+    if not confs:
+        return L.UNKNOWN, 0.0
+    if len(confs) == 1:
+        return confs[0]
+    first, second = confs[0][1], confs[1][1]
+    if first == second or (first - second) < min_rel_distance:
+        return L.UNKNOWN, 0.0
+    return confs[0]
+
+
 def _finish_assessment(
     text: str,
     confs: list[tuple[str, float]],
@@ -163,33 +205,34 @@ def _finish_assessment(
     models: PackedModels,
     ft: FastTextish,
     config: QualityConfig,
+    *,
+    cleaned: str | None = None,
+    ft_ord: int | None = None,
+    ppl: float | None = None,
 ) -> dict:
     """Everything after detection: decision, cross-check, perplexity,
     heuristics, scrub. Shared by the per-row and batch assessment paths so
-    their outputs are identical by construction."""
+    their outputs are identical by construction. The keyword arguments
+    accept batch-precomputed values (assess_batch); when omitted the
+    per-row equivalents are computed here — both paths are bit-identical
+    (pinned by tests/test_quality.py)."""
     from .core.text import clean_up
 
-    if not confs:
-        lang, confidence = L.UNKNOWN, 0.0
-    elif len(confs) == 1:
-        lang, confidence = confs[0]
-    else:
-        first, second = confs[0][1], confs[1][1]
-        if first == second or (first - second) < min_rel_distance:
-            lang, confidence = L.UNKNOWN, 0.0
-        else:
-            lang, confidence = confs[0]
+    lang, confidence = decide_confidences(confs, min_rel_distance)
 
-    ft_ord = ft.predict_ord(text)
+    if ft_ord is None:
+        ft_ord = ft.predict_ord(text)
     ft_lang = L.UNKNOWN if ft_ord < 0 else L.LANGUAGES[ft_ord].name
     agree = lang != L.UNKNOWN and ft_lang == lang
 
-    cleaned = clean_up(text)
-    ppl = (
-        trigram_perplexity(cleaned, L.ORDINAL[lang], models)
-        if lang != L.UNKNOWN
-        else float("inf")
-    )
+    if cleaned is None:
+        cleaned = clean_up(text)
+    if ppl is None:
+        ppl = (
+            trigram_perplexity(cleaned, L.ORDINAL[lang], models)
+            if lang != L.UNKNOWN
+            else float("inf")
+        )
 
     stats = text_stats(text)
     flags: list[str] = []
@@ -235,15 +278,30 @@ def assess_batch(
     ft: FastTextish,
     config: QualityConfig,
 ) -> list[dict]:
-    """Batch assessment: vectorized detection (engine.batch), identical
-    per-row finishing. Output matches assess_text row for row."""
-    conf_rows = batch_detector.confidence_rows(texts)
+    """Batch assessment: vectorized detection (engine.batch) plus batched
+    cleanup / fastText cross-check / perplexity (each bit-identical to its
+    per-row equivalent — round 1 cleaned every text 3x and ran the ft and
+    perplexity stages row-at-a-time, ~50% of pipeline CPU). Output matches
+    assess_text row for row."""
+    from .core.text import clean_up
+
+    cleaned = [clean_up(t) for t in texts]
+    conf_rows = batch_detector.confidence_rows(texts, cleaned_list=cleaned)
+    mrd = batch_detector.minimum_relative_distance
+    langs = [decide_confidences(c, mrd)[0] for c in conf_rows]
+    ft_ords = ft.predict_ords(cleaned)
+    lang_ords = [
+        L.ORDINAL[lang] if lang != L.UNKNOWN else -1 for lang in langs
+    ]
+    ppls = trigram_perplexity_batch(cleaned, lang_ords, batch_detector.models)
     return [
         _finish_assessment(
-            t, confs, batch_detector.minimum_relative_distance,
-            batch_detector.models, ft, config,
+            t, confs, mrd, batch_detector.models, ft, config,
+            cleaned=cl, ft_ord=int(fo), ppl=float(p),
         )
-        for t, confs in zip(texts, conf_rows)
+        for t, confs, cl, fo, p in zip(
+            texts, conf_rows, cleaned, ft_ords, ppls
+        )
     ]
 
 

@@ -110,6 +110,62 @@ def test_batch_engine_exact_parity(packed_models):
         assert det.detect(t) == names[i], t
 
 
+def test_batch_trailing_empty_window_rows(packed_models):
+    """Regression (round 2): a chunk row whose cleaned text is long enough
+    to request length-n scoring but has NO valid n-windows (all windows
+    cross spaces) used to truncate the PREVIOUS row's segment sum by one
+    window when it trailed the chunk — _seg_sums clamped its out-of-range
+    start offset into the last row's segment. The batch engine must match
+    the per-row engine with such rows in every position."""
+    from lingua_spark.engine.batch import BatchDetector
+
+    det = Detector(models=packed_models)
+    bdet = BatchDetector(models=packed_models)
+    rich = "по як би і ло на митузу і би веґдуєца що річка не"
+    # 'ab cd ef' has length >= 5 but no 5-letter window
+    empty5 = "ab cd ef gh"
+    for texts in (
+        [rich, empty5],
+        [empty5, rich],
+        [rich, empty5, rich],
+        [empty5, rich, empty5],
+    ):
+        batch = bdet.confidence_rows(texts)
+        for i, t in enumerate(texts):
+            assert det.confidence_values(t) == batch[i], (texts, t)
+
+
+def test_dict_backend_lookup_parity(packed_models):
+    """withIncreasedDetectionSpeed backend (models.DictBackedModels) must
+    return bit-identical lookups AND detections vs the searchsorted
+    default (U4; UniBiTrigramLookup.kt:216-225 analog)."""
+    import numpy as np
+
+    from lingua_spark.engine.batch import BatchDetector
+    from lingua_spark.models import DictBackedModels
+
+    dm = DictBackedModels.from_packed(packed_models)
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 3, 4, 5):
+        keys = packed_models.keys[n]
+        if keys.size == 0:
+            continue
+        hits = rng.choice(keys, size=min(200, keys.size), replace=False)
+        misses = rng.integers(0, 2**63, size=100).astype(np.uint64)
+        hashes = np.concatenate([hits, misses])
+        cols = np.array([0, 5, 17, 42], dtype=np.int64)
+        a = packed_models.lookup(n, hashes, cols)
+        b = dm.lookup(n, hashes, cols)
+        assert (a == b).all()
+        assert (packed_models.lookup(n, hashes) == dm.lookup(n, hashes)).all()
+    texts = ["the people of the year", "der große fluss", "это очень",
+             "日本語です", ""]
+    assert (
+        BatchDetector(models=dm).detect_rows(texts)
+        == BatchDetector(models=packed_models).detect_rows(texts)
+    )
+
+
 def test_batch_engine_subset_and_low_accuracy(packed_models):
     from lingua_spark.engine.batch import BatchDetector
 
