@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.queries import (
         SQL_QUERIES,
+        ann_ivf_topk_query,
         ann_lsh_topk_query,
         detect_language_counts,
         make_sql_query,
@@ -50,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_pipeline_summary"] = quality_pipeline_summary
     out["multilang_sections"] = multilang_sections_summary
     out["ann_lsh_topk"] = ann_lsh_topk_query
+    out["ann_ivf_topk"] = ann_ivf_topk_query
     return out
 
 

@@ -214,51 +214,24 @@ def _jaccard_pairs(dialect: str) -> str:
     (prefix-filter pattern: only shingles with document frequency 2..20
     generate candidates — the join that scales).
 
-    The two dialects use different physical shapes on purpose (same results):
-    Spark inlines multi-referenced CTEs, so the round-1 shape (``sh``
-    referenced by sizes/rare/rsh) re-evaluated the shingle explode 3x.
-    The Spark shape is now a single linear chain — each CTE referenced
-    exactly once: the per-doc distinct-shingle count ``n`` is computed
-    BEFORE the explode and carried through the posting lists, so one
-    shingle pass feeds both the rare-shingle filter and the Jaccard
-    denominator. DuckDB materializes multi-referenced CTEs, so the plain
-    inverted-index self-join stays there."""
+    SHAPE NOTE (measured, round 2 — see BENCH/BASELINE.md): Spark inlines
+    multi-referenced CTEs, so ``sh`` below is re-evaluated 3x. Two
+    "single-pass" rewrites were built and benchmarked at sf0.1 against
+    this shape: (a) per-shingle posting lists via
+    collect_list(struct(doc_id, n)) + double explode, (b) a
+    count-over-window df filter. Both ran ~28 s vs ~5 s for this 3x
+    shape — re-evaluating a whole-stage-codegen explode+project chain is
+    far cheaper than ObjectHashAggregate posting lists or a window
+    materialization. At 100 TB the right move is materializing ``sh``
+    once (df.persist()/temp table) and keeping these same hash joins;
+    the SQL registry keeps the declarative 3x form since each
+    re-evaluation is a pruned 2-column scan + codegen explode."""
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", 4)
-    if dialect == "spark":
-        return f"""
-WITH docsh AS (
-  SELECT doc_id, arr, size(arr) AS n FROM (
-    SELECT doc_id, array_distinct({sh}) AS arr
-    FROM (SELECT doc_id, {c} AS c FROM documents)
-  )
-),
-sh AS (
-  SELECT doc_id, n, s FROM docsh LATERAL VIEW explode(arr) e AS s
-),
-posts AS (
-  SELECT s, collect_list(struct(doc_id, n)) AS ids
-  FROM sh GROUP BY s
-  HAVING count(*) BETWEEN 2 AND 20
-),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n AS na, b.n AS nb, count(*) AS rare_common
-  FROM posts
-  LATERAL VIEW explode(ids) ea AS a
-  LATERAL VIEW explode(ids) eb AS b
-  WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-)
-SELECT doc_a, doc_b, rare_common,
-       round(CAST(rare_common AS DOUBLE)
-             / (na + nb - rare_common), 4) AS jaccard_lb
-FROM pairs
-WHERE rare_common >= 2
-"""
+    ex = "explode" if dialect == "spark" else "unnest"
     return f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({sh}) AS s
+  SELECT DISTINCT doc_id, {ex}({sh}) AS s
   FROM (SELECT doc_id, {c} AS c FROM documents)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -554,6 +527,7 @@ _FIXTURES_DIR = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtu
 
 FIXTURE_ORACLE_QUERIES = (
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "detect_language_counts",
     "quality_pipeline_summary",
     "multilang_sections",
@@ -632,11 +606,19 @@ def multilang_sections_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path of sim_cosine_topk; rows-only check,
-    recall vs brute force asserted in tests/test_ops.py)."""
+    """Multi-table multi-probe LSH ANN (scale path #1 of sim_cosine_topk;
+    fixture oracle + recall floor asserted in tests/test_ops.py)."""
     from .similarity import ann_lsh_topk
 
     return ann_lsh_topk(spark, sf_dir)
+
+
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF / coarse-quantizer ANN (scale path #2; fixture oracle + recall
+    floor asserted in tests/test_ops.py)."""
+    from .similarity import ann_ivf_topk
+
+    return ann_ivf_topk(spark, sf_dir)
 
 
 def quality_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

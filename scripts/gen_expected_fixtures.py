@@ -44,6 +44,13 @@ def gen_ann() -> pd.DataFrame:
     return expected_ann_topk(emb)
 
 
+def gen_ivf() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_ivf_topk
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_ivf_topk(emb)
+
+
 def gen_detect_counts(docs: pd.DataFrame) -> pd.DataFrame:
     from lingua_spark.oracle import OracleDetector
     from lingua_spark.resources import oracle_tables
@@ -122,6 +129,7 @@ def main() -> None:
     docs = pd.read_parquet(SF_DIR / "documents.parquet")
     targets = {
         "ann_lsh_topk": gen_ann,
+        "ann_ivf_topk": gen_ivf,
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
         "multilang_sections": lambda: gen_multilang(docs),

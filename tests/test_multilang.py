@@ -86,6 +86,85 @@ def test_cjk_sections(det):
     assert secs[0]["start"] == 0
 
 
+# The reference's multi-language goldens (LanguageDetector_Test.kt:95-156,
+# getMultiLanguageArguments). Script-driven splits pin EXACT spans +
+# letters_count (model-independent); our measured spans match the JVM's
+# expected strings verbatim for every such case. Same-script splits
+# (German quoted inside English) depend on per-word model decisions, so
+# those texts are held to structural invariants instead.
+_REF_SCRIPT_SPLIT_GOLDENS = [
+    # text, [(start, end, letters_count), ...] from the reference goldens
+    ("", []),
+    ("....", []),
+    ("a", [(0, 1, 1)]),
+    ("日本語1a", [(0, 4, 3), (4, 5, 1)]),
+    ("हिन्दीa", [(0, 6, 3), (6, 7, 1)]),
+    (
+        "выдает такую ошибку Error Code: UNKNOWN code: Deep Ocean",
+        [(0, 20, 17), (20, 56, 29)],
+    ),
+]
+
+_REF_STRUCTURAL_TEXTS = [
+    "this is a test",
+    "Hallo das ist ein Test mit ein paar Wörtern: But what if the text"
+    " also contained English as part of the sentence?",
+    'He turned around and asked: "Entschuldigen Sie, sprechen Sie'
+    ' Deutsch?"',
+    'When he came into the room, he greeted the others with "Hallo'
+    ' zusammen, wie geht es euch?" and sat down on a free chair.',
+    "Don't isn't it won't do they don't 'und hier ein Teil der in"
+    " Deutsch geschrieben ist' can't it doesn't couldn't",
+    "First sentence\nsecond sentence\nthird sentence\nAber der letzte"
+    " Satz ist in Deutsch",
+    'Frost walker\'s Turkish should be "Buzlaştırıcı Yürüyücü"',
+    "выдает такую ошибку Error Code: UNKNOWN code: Deep Ocean",
+]
+
+
+@pytest.mark.parametrize("text,spans", _REF_SCRIPT_SPLIT_GOLDENS)
+def test_reference_script_split_spans(det, text, spans):
+    secs = detect_multi_language(text, det)
+    assert [(s["start"], s["end"], s["letters_count"]) for s in secs] == spans
+
+
+def test_reference_script_split_langs(det):
+    """Rule/script-pinnable language labels from the reference goldens:
+    the Han-only section is CHINESE (script rule), the Cyrillic section
+    resolves within Cyrillic-script languages, the Devanagari section
+    within Devanagari-script languages."""
+    from lingua_spark import langdata as L
+
+    secs = detect_multi_language("日本語1a", det)
+    assert secs[0]["lang"] == "CHINESE"
+    secs = detect_multi_language(
+        "выдает такую ошибку Error Code: UNKNOWN code: Deep Ocean", det
+    )
+    assert "CYRILLIC" in L.BY_NAME[secs[0]["lang"]].scripts
+    secs = detect_multi_language("हिन्दीa", det)
+    assert "DEVANAGARI" in L.BY_NAME[secs[0]["lang"]].scripts
+
+
+@pytest.mark.parametrize("text", _REF_STRUCTURAL_TEXTS)
+def test_reference_texts_structural_invariants(det, text):
+    """For every reference golden text: sections are ordered,
+    non-overlapping, within bounds, cover every letter of the text, and
+    letters_count never exceeds the span width."""
+    from lingua_spark.uniscript import CAT_LETTER, cat_ids, codes_of
+
+    secs = detect_multi_language(text, det)
+    total_letters = int((cat_ids(codes_of(text)) == CAT_LETTER).sum())
+    prev_end = 0
+    covered = 0
+    for s in secs:
+        assert 0 <= s["start"] < s["end"] <= len(text)
+        assert s["start"] >= prev_end
+        prev_end = s["end"]
+        assert 0 < s["letters_count"] <= s["end"] - s["start"]
+        covered += s["letters_count"]
+    assert covered == total_letters
+
+
 def test_same_language_sections_merge(det):
     # colon boundary inside a single-language text: sections share
     # high-confidence languages and merge back (W4)

@@ -4,20 +4,22 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
 @pytest.mark.parametrize("sf", ["0.001", "0.1"])
-def test_ann_lsh_topk_recall(spark, sf):
-    """ANN must actually retrieve neighbors: mean recall@3 vs the
-    brute-force baseline >= 0.8 (VERDICT r01 item 1 — the round-1 version
-    returned 0 rows and only asserted checked > 0). Deterministic: fixed
-    planes, fixed data => recall is a constant (1.00 at sf0.001, 0.917 at
-    sf0.1)."""
+def test_ann_topk_recall(spark, sf, variant):
+    """Both ANN scale paths must actually retrieve neighbors: mean
+    recall@3 vs the brute-force baseline >= 0.8 (VERDICT r01 item 1 — the
+    round-1 LSH returned 0 rows and only asserted checked > 0).
+    Deterministic: fixed planes/codebook, fixed data => recall is a
+    constant (LSH: 1.00 / 0.917; IVF: 0.875 / 0.917)."""
     from lingua_spark.ops.queries import SQL_QUERIES, register_views
-    from lingua_spark.ops.similarity import ann_lsh_topk
+    from lingua_spark.ops.similarity import ann_ivf_topk, ann_lsh_topk
 
     sfd = f"/root/testdata/sf{sf}"
     register_views(spark, sfd)
     brute = spark.sql(SQL_QUERIES["sim_cosine_topk"][0]).toPandas()
-    ann = ann_lsh_topk(spark, sfd).toPandas()
+    fn = ann_lsh_topk if variant == "lsh" else ann_ivf_topk
+    ann = fn(spark, sfd).toPandas()
     assert set(ann.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
     brute_scores = {
         (r.query_id, r.neighbor_id): r.cosine for r in brute.itertuples()
@@ -34,23 +36,35 @@ def test_ann_lsh_topk_recall(spark, sf):
     assert np.mean(recalls) >= 0.8
 
 
-def test_ann_lsh_topk_matches_numpy_expectation(spark):
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_ann_topk_matches_numpy_expectation(spark, variant):
     """The Spark plan must reproduce the independent NumPy re-computation
-    exactly — same planes, probes, HALF_UP rounding, tie-breaks. This is
-    the same function that generates the driver's fixture oracle."""
+    exactly — same planes/codebook, probes, HALF_UP rounding, tie-breaks.
+    These are the same functions that generate the driver's fixture
+    oracles."""
     import pandas as pd
 
-    from lingua_spark.ops.similarity import ann_lsh_topk, expected_ann_topk
+    from lingua_spark.ops.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        expected_ann_topk,
+        expected_ivf_topk,
+    )
 
     sfd = "/root/testdata/sf0.001"
+    fn, exp_fn = (
+        (ann_lsh_topk, expected_ann_topk)
+        if variant == "lsh"
+        else (ann_ivf_topk, expected_ivf_topk)
+    )
     got = (
-        ann_lsh_topk(spark, sfd)
+        fn(spark, sfd)
         .toPandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
     exp = (
-        expected_ann_topk(pd.read_parquet(f"{sfd}/embeddings.parquet"))
+        exp_fn(pd.read_parquet(f"{sfd}/embeddings.parquet"))
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
