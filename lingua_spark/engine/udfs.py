@@ -68,6 +68,29 @@ def _iso(name: str) -> str:
     return "unknown" if name == L.UNKNOWN else L.BY_NAME[name].iso1
 
 
+def build_package_zip(dest: str | None = None) -> str:
+    """Zip the ``lingua_spark`` package (code + model/npz assets) for
+    ``spark-submit --py-files`` (north rule). Returns the zip path.
+    Used both by ``ship_package`` (programmatic runs) and by
+    ``scripts/build_pyfiles.py`` (cluster submission)."""
+    import os
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent.parent
+    if dest is None:
+        fd, dest = tempfile.mkstemp(prefix="lingua_spark_", suffix=".zip")
+        os.close(fd)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(pkg_dir.rglob("*")):
+            if p.is_file() and "__pycache__" not in p.parts and (
+                p.suffix in (".py", ".npz") or p.name == "ngram_models.parquet"
+            ):
+                zf.write(p, Path("lingua_spark") / p.relative_to(pkg_dir))
+    return str(dest)
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``lingua_spark`` importable on executor Python workers even when
     the driver runs from another cwd: zip the package and addPyFile it —
@@ -76,22 +99,7 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_lingua_spark_shipped", False):
         return
-    import tempfile
-    import zipfile
-    from pathlib import Path
-
-    pkg_dir = Path(__file__).resolve().parent.parent
-    fd, zpath = tempfile.mkstemp(prefix="lingua_spark_", suffix=".zip")
-    import os
-
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in sorted(pkg_dir.rglob("*")):
-            if p.is_file() and "__pycache__" not in p.parts and (
-                p.suffix in (".py", ".npz") or p.name == "ngram_models.parquet"
-            ):
-                zf.write(p, Path("lingua_spark") / p.relative_to(pkg_dir))
-    sc.addPyFile(zpath)
+    sc.addPyFile(build_package_zip())
     sc._lingua_spark_shipped = True
 
 

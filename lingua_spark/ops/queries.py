@@ -528,6 +528,7 @@ _FIXTURES_DIR = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtu
 FIXTURE_ORACLE_QUERIES = (
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "dedup_embedding_neardup",
     "detect_language_counts",
     "quality_pipeline_summary",
     "multilang_sections",
@@ -619,6 +620,15 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import ann_ivf_topk
 
     return ann_ivf_topk(spark, sf_dir)
+
+
+def dedup_embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join
+    (dedup-list operator; fixture oracle + planted-duplicate recall test
+    in tests/test_ops.py)."""
+    from .similarity import dedup_embedding_neardup
+
+    return dedup_embedding_neardup(spark, sf_dir)
 
 
 def quality_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,6 +175,139 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate PAIRS (the dedup-list operator): all
+# pairs sharing >= 1 LSH bucket in any of the L tables, scored and kept at
+# cosine >= tau. Candidate generation is the same one-scan explode +
+# bucket self-join shape as the ANN path — never a cross join. Expected
+# pair recall is analytic: per-plane collision p(c) = 1 - acos(c)/pi, so
+# recall(c) = 1 - (1 - p(c)^k)^L; with defaults (k=8, L=6) that is ~0.87
+# at cosine 0.90, ~0.95 at 0.95, ~1.0 for true duplicates — the regime
+# the operator exists for. On the synthetic test embeddings the strongest
+# pairs are only ~0.4-0.6 (66-degree angles), where bucket recall is low
+# by design; the planted-duplicate pytest validates the near-dup regime,
+# and the driver gate checks the exact output via a NumPy-twin fixture.
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    from ..engine.udfs import ship_package
+
+    ship_package(spark)
+    if n_planes is None:
+        n_planes = default_n_planes(emb.count())
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
+    ]
+    bc = spark.sparkContext.broadcast(all_planes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(list(bucket_codes(mat, bc.value)))
+
+    with_b = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(buckets_of(F.col("embedding"))).alias("table", "bucket"),
+    )
+    a = with_b.select(
+        F.col("table"),
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = with_b.select(
+        F.col("table"),
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (nrm("emb_a") * nrm("emb_b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(spark, emb)
+
+
+def expected_neardup_pairs(
+    emb: pd.DataFrame,
+    tau: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """NumPy re-computation of embedding_neardup_pairs (fixture oracle)."""
+    ordered = emb.sort_values("vec_id")
+    M = np.stack(ordered["embedding"].to_numpy()).astype(np.float64)
+    vec_ids = ordered["vec_id"].to_numpy()
+    n, dim = M.shape
+    if n_planes is None:
+        n_planes = default_n_planes(n)
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
+    ]
+    codes = bucket_codes(M, all_planes)
+    cand: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        order = np.argsort(codes[:, t], kind="stable")
+        c = codes[order, t]
+        bounds = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s > 1:
+                members = order[s:e]
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        x, y = int(members[i]), int(members[j])
+                        cand.add((min(x, y), max(x, y)))
+    rows = []
+    for i, j in sorted(cand):
+        if vec_ids[i] == vec_ids[j]:
+            continue
+        cos = float(
+            (M[i] @ M[j]) / (np.linalg.norm(M[i]) * np.linalg.norm(M[j]))
+        )
+        r = float(np.sign(cos) * np.floor(abs(cos) * 1e4 + 0.5) / 1e4)
+        if r >= tau:
+            va, vb = int(vec_ids[i]), int(vec_ids[j])
+            rows.append((min(va, vb), max(va, vb), r))
+    return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file / coarse-quantizer) ANN — the second scale path the
 # survey calls for. A deterministic k-means codebook is trained on a
 # bounded driver-side sample (standard IVF practice — the quantizer never

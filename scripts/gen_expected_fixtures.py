@@ -51,6 +51,13 @@ def gen_ivf() -> pd.DataFrame:
     return expected_ivf_topk(emb)
 
 
+def gen_neardup() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_neardup_pairs
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_neardup_pairs(emb)
+
+
 def gen_detect_counts(docs: pd.DataFrame) -> pd.DataFrame:
     from lingua_spark.oracle import OracleDetector
     from lingua_spark.resources import oracle_tables
@@ -130,6 +137,7 @@ def main() -> None:
     targets = {
         "ann_lsh_topk": gen_ann,
         "ann_ivf_topk": gen_ivf,
+        "dedup_embedding_neardup": gen_neardup,
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
         "multilang_sections": lambda: gen_multilang(docs),

@@ -1,0 +1,86 @@
+"""Transcript I/O (Iceberg-or-Parquet) + spark-submit CLI surface."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from lingua_spark.corpus import transcripts
+from lingua_spark.io import read_transcripts, write_assessments
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_input(spark, tmp_path, n=120):
+    pdf = transcripts(n_turns=n)
+    src = tmp_path / "in.parquet"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    return src, pdf
+
+
+def test_read_transcripts_parquet_and_pushdown(spark, tmp_path):
+    src, pdf = _write_input(spark, tmp_path)
+    df = read_transcripts(spark, str(src), "auto")
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert df.count() == len(pdf)
+    filtered = read_transcripts(
+        spark, str(src), "parquet", where="turn_idx < 2"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "turn_idx" in plan
+    assert filtered.count() == (pdf.turn_idx < 2).sum()
+
+
+def test_read_transcripts_schema_validation(spark, tmp_path):
+    bad = tmp_path / "bad.parquet"
+    spark.range(5).write.parquet(str(bad))
+    with pytest.raises(ValueError, match="missing columns"):
+        read_transcripts(spark, str(bad))
+
+
+def test_read_transcripts_iceberg_degrades_clearly(spark):
+    # no iceberg runtime in this container: the error must say so
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        read_transcripts(spark, "cat.db.transcripts", "iceberg")
+
+
+def test_write_assessments_roundtrip(spark, tmp_path):
+    from lingua_spark.engine.pipeline import assess_turns, with_stable_order
+
+    src, pdf = _write_input(spark, tmp_path, n=60)
+    df = read_transcripts(spark, str(src))
+    assessed = assess_turns(spark, with_stable_order(df), None, 4)
+    out = tmp_path / "out"
+    write_assessments(assessed, str(out))
+    got = spark.read.parquet(str(out))
+    assert got.count() == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
+    assert "partition_id" in got.columns
+
+
+def test_submit_cli_end_to_end(spark, tmp_path):
+    """scripts/run_pipeline.py driven exactly as spark-submit would drive
+    it (fresh Python process, package shipped via ship_package), plus the
+    --py-files zip builder."""
+    src, pdf = _write_input(spark, tmp_path, n=80)
+    out = tmp_path / "run"
+    zip_out = tmp_path / "lingua_spark.zip"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "build_pyfiles.py"), str(zip_out)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0 and zip_out.exists()
+    r = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "run_pipeline.py"),
+            "--input", str(src), "--output", str(out),
+            "--partitions", "4", "--waves", "2", "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sorted(summary["processed_partitions"]) == [0, 1, 2, 3]
+    got = spark.read.parquet(str(out / "data"))
+    assert got.count() == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))

@@ -71,6 +71,61 @@ def test_ann_topk_matches_numpy_expectation(spark, variant):
     assert got.equals(exp.astype(got.dtypes.to_dict()))
 
 
+def test_embedding_neardup_matches_numpy_expectation(spark):
+    """Spark LSH-bucket near-dup pairs == NumPy twin (the fixture-oracle
+    generator) exactly."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import (
+        dedup_embedding_neardup,
+        expected_neardup_pairs,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    got = (
+        dedup_embedding_neardup(spark, sfd)
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        expected_neardup_pairs(pd.read_parquet(f"{sfd}/embeddings.parquet"))
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_embedding_neardup_planted_duplicates(spark):
+    """The near-dup regime the operator is designed for (cosine >= 0.9):
+    plant perturbed duplicates among random vectors; the analytic pair
+    recall 1-(1-p(c)^k)^L predicts ~0.87 at c=0.90 — assert >= 0.8 found
+    and that every reported pair meets the threshold."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((220, 64))
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(200)]
+    true_pairs = set()
+    for d in range(20):
+        src = 200 + d
+        orig = base[d]
+        noisy = orig + 0.18 * rng.standard_normal(64)  # cosine ~0.97-0.99
+        rows.append((src, noisy.astype("float32").tolist()))
+        true_pairs.add((d, src))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = embedding_neardup_pairs(spark, emb, tau=0.9).toPandas()
+    assert (got.cosine >= 0.9).all()
+    found = {(a, b) for a, b in zip(got.vec_a, got.vec_b)}
+    recall = len(found & true_pairs) / len(true_pairs)
+    assert recall >= 0.8
+
+
 def test_multimodal_feature_plumbing(spark):
     from lingua_spark.ops.multimodal import (
         FEATURE_DIM,
