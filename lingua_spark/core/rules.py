@@ -119,6 +119,13 @@ def detect_language_with_rules(
     gids_all = uniq_table[np.minimum(codes, _MAX_CP - 1)]
     uc_hit_all = ucd_all & (gids_all >= 0)
 
+    # Fast path (exact): if NO character in the text casts a primary-script
+    # or unique-char vote, every word votes UNKNOWN, the UNKNOWN fraction
+    # is 100% (never zeroed by the cut), and the result is UNKNOWN — the
+    # common case for shared-script text without special characters.
+    if not (uc_hit_all.any() or (prim_all >= 0).any()):
+        return L.UNKNOWN
+
     totals = np.zeros(L.N_LANGUAGES + 1, dtype=np.float64)  # [-1] = UNKNOWN
     adjusted_word_count = 0.0
 
@@ -203,18 +210,33 @@ def filter_languages_mask(
     sids_all = script_ids(codes)
     logo_all = is_logogram_char(codes)
 
+    # Vectorized per-word alphabet voting (replaces the word loop; exact:
+    # word values are dyadic 1.0/0.5, so summation order cannot change the
+    # totals). A word votes its script iff all its chars share one
+    # non-OTHER script; single-char logogram words count half.
+    n_words = spans.shape[0]
     alphabet_votes = np.zeros(N_SCRIPTS, dtype=np.float64)
     adjusted_word_count = 0.0
-
-    for s, e in spans:
-        sids = sids_all[s:e]
-        word_value = L.FULL_WORD_VALUE
-        sid0 = sids[0]
-        if sid0 != _OTHER and (sids == sid0).all():
-            if e - s == 1 and logo_all[s]:
-                word_value = L.LOGOGRAM_WORD_VALUE
-            alphabet_votes[sid0] += word_value
-        adjusted_word_count += word_value
+    if n_words:
+        starts = spans[:, 0]
+        ends = spans[:, 1]
+        mark = np.zeros(codes.size + 1, dtype=np.int8)
+        mark[starts] += 1
+        mark[ends] -= 1
+        pos = np.flatnonzero(np.cumsum(mark[:-1]) > 0)
+        wid = np.searchsorted(starts, pos, side="right") - 1
+        packed = sids_all[pos]
+        offsets = np.searchsorted(wid, np.arange(n_words + 1))
+        wmin = np.minimum.reduceat(packed, offsets[:-1])
+        wmax = np.maximum.reduceat(packed, offsets[:-1])
+        sid0 = packed[offsets[:-1]]
+        const = (wmin == wmax) & (sid0 != _OTHER)
+        logoword = ((ends - starts) == 1) & logo_all[starts]
+        word_value = np.where(
+            const & logoword, L.LOGOGRAM_WORD_VALUE, L.FULL_WORD_VALUE
+        )
+        np.add.at(alphabet_votes, sid0[const], word_value[const])
+        adjusted_word_count = float(word_value.sum())
 
     if not alphabet_votes.any():
         return det_mask.copy()
