@@ -128,6 +128,38 @@ def stateful_conversation_tracker(
     )
 
 
+def session_window_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    config: QualityConfig | None = None,
+) -> DataFrame:
+    """Streaming sessionization (the W1 boundary-split analog on a live
+    stream): per-conversation SESSION windows that close after ``gap`` of
+    inactivity, aggregating turn count and keep count per session. State
+    is bounded by the watermark — sessions older than ``watermark`` are
+    finalized and emitted; late turns beyond it are dropped. The batch
+    twin is the w1_sessionize SQL query (lag + running sum); Spark's
+    native session_window replaces that window cascade on streams."""
+    assessed = stream_assess(spark, input_dir, config)
+    return (
+        assessed.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "turns",
+            "kept",
+        )
+    )
+
+
 def windowed_keep_metrics(
     spark: SparkSession,
     input_dir: str,

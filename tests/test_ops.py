@@ -181,6 +181,41 @@ def test_streaming_available_now(spark, tmp_path):
     assert spark.read.parquet(str(outd)).count() == len(pdf)
 
 
+def test_session_window_metrics(spark, tmp_path):
+    """Streaming session windows: two bursts of turns separated by a
+    > 30-minute gap in one conversation must land in two sessions with
+    the right turn counts."""
+    import pandas as pd
+
+    from lingua_spark.streaming import session_window_metrics
+
+    rows = []
+    t0 = pd.Timestamp("2025-01-01 08:00:00")
+    for i in range(4):  # burst 1: 4 turns, 1 min apart
+        rows.append(("c1", i, "user", "the people of the year would have",
+                     "", t0 + pd.Timedelta(minutes=i)))
+    for i in range(3):  # burst 2: 45 min later
+        rows.append(("c1", 10 + i, "user", "another set of words here now",
+                     "", t0 + pd.Timedelta(minutes=48 + i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"]).astype({"turn_idx": "int32"})
+    src = tmp_path / "in"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    out = session_window_metrics(spark, str(src))
+    q = (out.writeStream.format("memory").queryName("sessmetrics")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from sessmetrics")
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert got.turns.tolist() == [4, 3]
+    assert (got.session_end > got.session_start).all()
+
+
 def test_stateful_conversation_tracker(spark, tmp_path):
     import pandas as pd
 
