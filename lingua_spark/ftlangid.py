@@ -14,7 +14,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import langdata as L
-from .core.ngram import prefix_hashes
 from .core.text import clean_up
 from .uniscript import codes_of
 
@@ -23,15 +22,30 @@ NGRAM_SIZES = (2, 3, 4)
 
 
 def _buckets(cleaned: str) -> np.ndarray:
-    """Hashed char n-gram buckets (spaces included, fastText-style)."""
+    """Hashed char n-gram buckets (spaces included, fastText-style).
+
+    One cumulative FNV pass serves every n: the hash state after j chars
+    from position i IS the hash of the j-gram at i, so extending the
+    running state once per prefix length yields all 2/3/4-gram hashes in
+    position order — bit-identical to per-n window hashing, without
+    building window views per n."""
     codes = codes_of(cleaned)
-    out = []
-    for n in NGRAM_SIZES:
-        if len(codes) < n:
-            continue
-        wins = np.lib.stride_tricks.sliding_window_view(codes, n)
-        h = prefix_hashes(wins)[:, -1]
-        out.append(h % np.uint64(N_BUCKETS))
+    length = len(codes)
+    if length < NGRAM_SIZES[0]:
+        return np.empty(0, dtype=np.uint64)
+    from .core.ngram import _NP_OFFSET, _NP_PRIME
+
+    by_n: dict[int, np.ndarray] = {}
+    h = np.full(length, _NP_OFFSET, dtype=np.uint64)
+    cu = codes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(max(NGRAM_SIZES)):
+            if length - j <= 0:
+                break
+            h = (h[: length - j] ^ cu[j:]) * _NP_PRIME
+            if j + 1 in NGRAM_SIZES:
+                by_n[j + 1] = h
+    out = [by_n[n] % np.uint64(N_BUCKETS) for n in NGRAM_SIZES if n in by_n]
     if not out:
         return np.empty(0, dtype=np.uint64)
     return np.concatenate(out)

@@ -126,16 +126,20 @@ def trigram_perplexity(cleaned: str, lang_ord: int, models: PackedModels) -> flo
     letters = cat_ids(codes) == CAT_LETTER
     if len(codes) < 3:
         return float("inf")
-    from numpy.lib.stride_tricks import sliding_window_view
+    from .core.ngram import _NP_OFFSET, _NP_PRIME
 
-    from .core.ngram import prefix_hashes
-
-    wins = sliding_window_view(codes, 3)
-    valid = sliding_window_view(letters, 3).all(axis=1)
-    wins = wins[valid]
-    if wins.shape[0] == 0:
+    # one cumulative FNV pass yields h1/h2/h3 at every start position —
+    # bit-identical to prefix_hashes over window views (same op sequence)
+    n = len(codes)
+    cu = codes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (np.uint64(_NP_OFFSET) ^ cu) * np.uint64(_NP_PRIME)
+        h2 = (h1[: n - 1] ^ cu[1:]) * np.uint64(_NP_PRIME)
+        h3 = (h2[: n - 2] ^ cu[2:]) * np.uint64(_NP_PRIME)
+    valid = letters[: n - 2] & letters[1 : n - 1] & letters[2:]
+    if not valid.any():
         return float("inf")
-    h = prefix_hashes(wins)  # token stream, NOT dedup'd
+    h = np.column_stack((h1[: n - 2][valid], h2[: n - 2][valid], h3[valid]))
     logp = np.full(h.shape[0], MISS_LOG_PROB, dtype=np.float64)
     remaining = np.ones(h.shape[0], dtype=bool)
     for depth in (3, 2, 1):
