@@ -96,6 +96,56 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame,
+    uniformly spaced across duration_ms. Real shape: a mapInPandas stage
+    that EXPANDS rows (1 video -> n frames) keeping payload bytes
+    columnar; the frame decoder is stubbed (no codecs in this container)
+    as a deterministic byte slice of the payload, with the real decode
+    slot being ``decode_real``."""
+    from ..engine.udfs import ship_package
+
+    ship_package(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "frame_payload": [],
+            }
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["duration_ms"],
+            ):
+                if kind != "video":
+                    continue
+                p = bytes(payload) if payload is not None else b""
+                dur = int(dur) if dur is not None else 0
+                for k in range(n_frames):
+                    # stub "decode": deterministic rotating byte slice
+                    start = (k * max(1, len(p) // n_frames)) % max(len(p), 1)
+                    frame = p[start : start + 32] if p else b""
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(
+                        int(k * dur / n_frames) if n_frames else 0
+                    )
+                    out["frame_payload"].append(frame)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rows = []

@@ -146,6 +146,23 @@ def test_multimodal_feature_plumbing(spark):
         decode_real(b"x", "image/png")
 
 
+def test_multimodal_frame_sampling(spark):
+    from lingua_spark.ops.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=30)  # kinds cycle image/audio/video
+    frames = sample_frames(media, n_frames=4).toPandas()
+    n_videos = 10
+    assert len(frames) == n_videos * 4
+    assert set(frames.frame_idx) == {0, 1, 2, 3}
+    # deterministic: same payload slice every run
+    again = sample_frames(media, n_frames=4).toPandas()
+    key = ["media_id", "frame_idx"]
+    a = frames.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    assert (a.frame_payload == b.frame_payload).all()
+    assert (a.frame_ts_ms < 1000).all() and (a.frame_ts_ms >= 0).all()
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 
