@@ -29,7 +29,6 @@ import numpy as np
 
 from .. import langdata as L
 from ..core.detector import _IS_LOGO_LANG, ngram_length_range
-from ..core.ngram import prefix_hashes
 from ..core.rules import detect_language_with_rules, filter_languages_mask
 from ..core.text import clean_up, word_spans
 from ..models import PackedModels
@@ -59,7 +58,6 @@ def _batch_windows(
         return np.empty((0, n), dtype=np.uint64), np.empty(0, dtype=np.int64)
     from numpy.lib.stride_tricks import sliding_window_view
 
-    wins = sliding_window_view(cat, n)
     valid = sliding_window_view(let, n).all(axis=1)
     # map window start position -> row id via row start offsets
     lens = np.fromiter((len(b) + 1 for b in blobs), dtype=np.int64, count=len(blobs))
@@ -68,7 +66,20 @@ def _batch_windows(
     if pos.size == 0:
         return np.empty((0, n), dtype=np.uint64), np.empty(0, dtype=np.int64)
     row_id = np.searchsorted(starts, pos, side="right") - 1
-    h = prefix_hashes(np.ascontiguousarray(wins[pos]))
+    # One cumulative FNV pass over the blob yields the d-gram hash at
+    # every start position for every depth d <= n (the state after d
+    # chars IS the d-prefix hash) — bit-identical to prefix_hashes over
+    # materialized (K, n) windows, without building/copying them.
+    from ..core.ngram import _NP_OFFSET, _NP_PRIME
+
+    B = len(cat)
+    cu = cat.astype(np.uint64)
+    h = np.empty((pos.size, n), dtype=np.uint64)
+    state = np.full(B, _NP_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for d in range(n):
+            state = (state[: B - d] ^ cu[d:]) * _NP_PRIME
+            h[:, d] = state[pos]
     # per-row dedup on the full-ngram hash, keep ascending order per row
     order = np.lexsort((h[:, -1], row_id))
     row_s = row_id[order]
