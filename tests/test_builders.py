@@ -107,6 +107,26 @@ def test_built_detectors_share_decisions(packed_models):
     assert plain.detect_rows(texts) == bdet.detect_rows(texts)
 
 
+def test_console_repl_surface():
+    """S6: the console detector (scripts/repl.py, App.kt:29-170 analog)
+    driven over stdin in a fresh process."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "repl.py"), "de", "en"],
+        input="ein kurzer satz\nthe people of the year\n:quit\n",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 2
+    assert lines[0].startswith("GERMAN:")
+    assert lines[1].startswith("ENGLISH:")
+
+
 def test_low_accuracy_mode_short_text_gate():
     b = LanguageDetectorBuilder.from_all_languages().with_low_accuracy_mode()
     det = b.build()
