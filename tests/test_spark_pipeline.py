@@ -107,6 +107,35 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert res3["processed_partitions"] == [2]
 
 
+def test_skewed_conversation_partitioning(spark):
+    """North rule: skew handling. One conversation owning half of all
+    turns must NOT hot-spot a partition — with_stable_order keys the
+    shuffle on (conv_id, turn_idx), so the unit of distribution is the
+    turn, not the conversation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = []
+    ts = pd.Timestamp("2025-01-01")
+    for t in range(4000):  # one viral conversation: 50% of all turns
+        rows.append(("conv-viral", t, "user", f"turn number {t}", "", ts))
+    for c in range(400):  # 400 normal conversations x 10 turns
+        for t in range(10):
+            rows.append((f"conv-{c:04d}", t, "user", f"text {c} {t}", "", ts))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32"})
+    df = with_stable_order(spark.createDataFrame(pdf), compute_partitions=8)
+    sizes = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .toPandas()
+    )
+    assert len(sizes) == 8
+    assert sizes["count"].max() <= 2.0 * sizes["count"].mean()
+
+
 def test_conversation_stats_salted(spark, assessed):
     _, res = assessed
     df = spark.createDataFrame(res[["conv_id", "turn_idx", "keep"]])
