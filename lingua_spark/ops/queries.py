@@ -510,6 +510,74 @@ FROM documents
 )
 
 
+# --- BPE-ish token counting (prompt: "token counting (whitespace + a
+# BPE-ish regex)"): GPT-2-style segmentation — contractions, letter runs,
+# short digit runs, punctuation runs; whitespace separates but produces no
+# token. Spark string literals escape backslashes, DuckDB escapes quotes.
+_BPE_PAT = r"'[a-z]+|[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]+"
+
+
+def _token_count_bpe(dialect: str) -> str:
+    if dialect == "spark":
+        pat = _BPE_PAT.replace("'", "\\'").replace("\\s", "\\\\s")
+        toks = f"regexp_extract_all(text, '{pat}', 0)"
+        n = f"CAST(size({toks}) AS BIGINT)"
+        nd = f"CAST(size(array_distinct({toks})) AS BIGINT)"
+    else:
+        pat = _BPE_PAT.replace("'", "''")
+        toks = f"regexp_extract_all(text, '{pat}')"
+        n = f"CAST(len({toks}) AS BIGINT)"
+        nd = f"CAST(len(list_distinct({toks})) AS BIGINT)"
+    return f"""
+SELECT doc_id, {n} AS n_bpe_tokens, {nd} AS n_distinct_bpe_tokens
+FROM documents
+"""
+
+
+def _fingerprint_winnow(dialect: str, k: int = 5, w: int = 4) -> str:
+    """Document fingerprinting via winnowing (prompt: "document
+    fingerprinting (rolling hash)", Schleimer/Wilkerson/Aiken): hash every
+    k-shingle of the cleaned text, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — the fingerprint set is robust to
+    local edits and its size is ~2/(w+1) of the shingle count. Pure SQL in
+    both dialects: per-position md5 + a ROWS window min + DISTINCT."""
+    c = _cleaned(dialect)
+    if dialect == "spark":
+        shingled = (
+            f"SELECT doc_id, i AS pos, md5(substring(c, i, {k})) AS h FROM"
+            f" (SELECT doc_id, {c} AS c FROM documents)"
+            f" LATERAL VIEW explode(sequence(1,"
+            f" greatest(length(c) - {k - 1}, 1))) t AS i"
+        )
+    else:
+        shingled = (
+            f"SELECT doc_id, i AS pos, md5(substring(c, i::INT, {k})) AS h"
+            f" FROM (SELECT doc_id, {c} AS c FROM documents),"
+            f" LATERAL unnest(range(1,"
+            f" greatest(length(c) - {k - 1}, 1) + 1)) AS t(i)"
+        )
+    return f"""
+WITH hashed AS ({shingled}),
+winnowed AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM winnowed
+"""
+
+
+SQL_QUERIES["token_count_bpe"] = (
+    _token_count_bpe("spark"),
+    _token_count_bpe("duckdb"),
+)
+SQL_QUERIES["doc_fingerprint_winnow"] = (
+    _fingerprint_winnow("spark"),
+    _fingerprint_winnow("duckdb"),
+)
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -146,6 +146,26 @@ def test_multimodal_feature_plumbing(spark):
         decode_real(b"x", "image/png")
 
 
+def test_token_count_and_fingerprints(spark):
+    """BPE-ish tokens >= whitespace tokens (punctuation splits off);
+    winnow fingerprints are a small fraction of the shingle count."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    bpe = spark.sql(SQL_QUERIES["token_count_bpe"][0]).toPandas()
+    ws = spark.sql(SQL_QUERIES["textstats_tokens"][0]).toPandas()
+    merged = bpe.merge(ws, on="doc_id")
+    assert (merged.n_bpe_tokens >= merged.n_tokens).all()
+    fp = spark.sql(SQL_QUERIES["doc_fingerprint_winnow"][0]).toPandas()
+    per_doc = fp.groupby("doc_id").size()
+    assert per_doc.min() >= 1
+    # winnowing selects ~2/(w+1) of positions before dedup; well under 1x
+    clean_len = spark.sql(
+        "SELECT doc_id, length(text) AS n FROM documents"
+    ).toPandas().set_index("doc_id").n
+    assert (per_doc < clean_len.loc[per_doc.index]).all()
+
+
 def test_multimodal_frame_sampling(spark):
     from lingua_spark.ops.multimodal import sample_frames, synth_media
 
