@@ -171,6 +171,9 @@ def score_rows_batch(
             if n == 1:
                 direct_hits_1 = f > 0
             for depth in range(n - 1, 0, -1):
+                # (a column-restricted variant — lookup only cols with
+                # remaining misses — was measured slightly SLOWER: the
+                # np.ix_ scatter/gather costs more than the saved width)
                 need_rows = np.flatnonzero((f <= 0).any(axis=1))
                 if need_rows.size == 0:
                     break
