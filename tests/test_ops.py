@@ -284,6 +284,55 @@ def test_stateful_conversation_tracker(spark, tmp_path):
     assert not final.quarantined
 
 
+def test_stateful_tracker_resumes_from_checkpoint(spark, tmp_path):
+    """applyInPandasWithState state must survive a query restart: feed 2
+    dropped turns, restart with 2 more dropped turns from the same
+    conversation, and the streak must reach 4 (quarantined) — proving the
+    state store checkpointing, not just within-batch accumulation."""
+    import pandas as pd
+
+    from lingua_spark.streaming import stateful_conversation_tracker
+
+    src = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    outdir = tmp_path / "out"
+
+    def feed(turn0):
+        rows = [
+            ("c1", turn0 + i, "user", "!!!", "",
+             pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=turn0 + i))
+            for i in range(2)
+        ]
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"]).astype(
+            {"turn_idx": "int32"})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src))
+
+    def run_once():
+        out = stateful_conversation_tracker(spark, str(src))
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(str(outdir))
+
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    feed(0)
+    run_once()
+    first = spark.read.parquet(str(outdir)).toPandas().sort_values("turns")
+    assert first.iloc[-1].turns == 2 and first.iloc[-1].drop_streak == 2
+    feed(10)
+    run_once()
+    got = spark.read.parquet(str(outdir)).toPandas().sort_values("turns")
+    final = got.iloc[-1]
+    assert final.turns == 4
+    assert final.drop_streak == 4
+    assert final.quarantined  # streak persisted across the restart
+
+
 def test_unload_models(spark):
     from lingua_spark.engine.udfs import make_detect_udf, unload_models
 

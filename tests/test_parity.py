@@ -135,6 +135,30 @@ def test_batch_trailing_empty_window_rows(packed_models):
             assert det.confidence_values(t) == batch[i], (texts, t)
 
 
+def test_batch_parity_at_scale_sf01(packed_models):
+    """Chunk-level parity on REAL driver data at sf0.1 (5000 documents):
+    the batch engine chunks rows 512 at a time, and chunk-composition
+    bugs (e.g. the round-2 _seg_sums trailing-empty-row truncation) only
+    surface with many heterogeneous rows. Decisions must match the
+    per-row engine on every document."""
+    import pandas as pd
+
+    from lingua_spark.engine.batch import BatchDetector
+
+    texts = pd.read_parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).text.tolist()
+    det = Detector(models=packed_models)
+    bdet = BatchDetector(models=packed_models)
+    batch_names = bdet.detect_rows(texts)
+    mismatches = [
+        (i, t)
+        for i, (t, b) in enumerate(zip(texts, batch_names))
+        if det.detect(t) != b
+    ]
+    assert not mismatches, mismatches[:3]
+
+
 def test_dict_backend_lookup_parity(packed_models):
     """withIncreasedDetectionSpeed backend (models.DictBackedModels) must
     return bit-identical lookups AND detections vs the searchsorted
