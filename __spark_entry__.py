@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         SQL_QUERIES,
         ann_ivf_topk_query,
         ann_lsh_topk_query,
+        dedup_embedding_neardup_hot_buckets_query,
         dedup_embedding_neardup_query,
         detect_language_counts,
         make_sql_query,
@@ -54,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_lsh_topk"] = ann_lsh_topk_query
     out["ann_ivf_topk"] = ann_ivf_topk_query
     out["dedup_embedding_neardup"] = dedup_embedding_neardup_query
+    out["dedup_embedding_neardup_hot_buckets"] = (
+        dedup_embedding_neardup_hot_buckets_query
+    )
     return out
 
 

@@ -518,14 +518,16 @@ _BPE_PAT = r"'[a-z]+|[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]+"
 
 
 def _token_count_bpe(dialect: str) -> str:
+    # coalesce: Spark size(NULL) is -1 (legacy sizeOfNull) while DuckDB
+    # len(NULL) is NULL — NULL text would silently hash-mismatch.
     if dialect == "spark":
         pat = _BPE_PAT.replace("'", "\\'").replace("\\s", "\\\\s")
-        toks = f"regexp_extract_all(text, '{pat}', 0)"
+        toks = f"regexp_extract_all(coalesce(text, ''), '{pat}', 0)"
         n = f"CAST(size({toks}) AS BIGINT)"
         nd = f"CAST(size(array_distinct({toks})) AS BIGINT)"
     else:
         pat = _BPE_PAT.replace("'", "''")
-        toks = f"regexp_extract_all(text, '{pat}')"
+        toks = f"regexp_extract_all(coalesce(text, ''), '{pat}')"
         n = f"CAST(len({toks}) AS BIGINT)"
         nd = f"CAST(len(list_distinct({toks})) AS BIGINT)"
     return f"""
@@ -597,10 +599,17 @@ FIXTURE_ORACLE_QUERIES = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_neardup",
+    "dedup_embedding_neardup_hot_buckets",
     "detect_language_counts",
     "quality_pipeline_summary",
     "multilang_sections",
 )
+
+# The fixtures are frozen at ONE scale (the driver's correctness gate
+# scale) — running the fixture-backed oracles against any other sf dir
+# mismatches by construction. validate_oracles skips them with a message
+# in that case (see scripts/validate_oracles.py).
+FIXTURE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def fixture_oracle_sql(name: str) -> str:
@@ -693,10 +702,20 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join
     (dedup-list operator; fixture oracle + planted-duplicate recall test
-    in tests/test_ops.py)."""
+    in tests/test_ops.py). Hot buckets are star-reduced at
+    NEARDUP_BUCKET_CAP and surfaced by the companion audit query."""
     from .similarity import dedup_embedding_neardup
 
     return dedup_embedding_neardup(spark, sf_dir)
+
+
+def dedup_embedding_neardup_hot_buckets_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audit of NEARDUP_BUCKET_CAP star-reduced buckets (no-silent-caps)."""
+    from .similarity import dedup_embedding_neardup_hot_buckets
+
+    return dedup_embedding_neardup_hot_buckets(spark, sf_dir)
 
 
 def quality_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 
+# Python twin of Spark's xxhash64 over a LongType column (XXH64 of the
+# 8-byte little-endian value, seed 42) — verified bit-identical against
+# F.xxhash64 so the IVF training-sample filter can be replicated exactly
+# in the NumPy fixture oracle.
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Signed-64 result identical to Spark ``xxhash64(CAST(v AS BIGINT))``."""
+    v &= _M64
+    h = (seed + _XXP5 + 8) & _M64
+    h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+    h = ((_rotl64(h, 27) * _XXP1) + _XXP4) & _M64
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     h = rng.standard_normal((n_planes, dim))
@@ -86,16 +116,22 @@ def lsh_bucket_ann(
     n_query: int = 8,
     dim: int = 64,
     seed: int = 7,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Multi-table multi-probe LSH cosine top-k: same output shape as
     sim_cosine_topk but only pairs sharing a probed LSH bucket are scored
-    (recall < 1 by design; see module docstring for measured recall)."""
+    (recall < 1 by design; see module docstring for measured recall).
+
+    ``n_vectors``: optional caller-supplied count. Without it we count()
+    — metadata-only for a plain parquet scan, but a full job if ``emb``
+    is filtered/transformed, so pipelines should pass the hint."""
     from ..engine.udfs import ship_package
 
     ship_package(spark)
     if n_planes is None:
-        # parquet count() is metadata-only — no full scan
-        n_planes = default_n_planes(emb.count())
+        n_planes = default_n_planes(
+            emb.count() if n_vectors is None else n_vectors
+        )
     all_planes = [
         hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
     ]
@@ -186,22 +222,41 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs are only ~0.4-0.6 (66-degree angles), where bucket recall is low
 # by design; the planted-duplicate pytest validates the near-dup regime,
 # and the driver gate checks the exact output via a NumPy-twin fixture.
+#
+# Hot-bucket guard (same rationale and cap as the MinHash path,
+# queries.LSH_BUCKET_CAP): a boilerplate cluster of m near-identical
+# embeddings collides into ONE bucket in EVERY table, and an uncapped
+# bucket self-join would emit O(m^2) pairs x n_tables on one reducer.
+# Buckets above NEARDUP_BUCKET_CAP switch from all-pairs to STAR pairs
+# (every member against the bucket-min vec_id) — O(m) output, same
+# connected components for downstream union-find dedup. Oversized
+# buckets are surfaced (not silent) by ``embedding_neardup_hot_buckets``.
+# Residual: one bucket's sorted id array sits on a reducer (8 MB per
+# 10^6-vector bucket) — fine to ~10^7-vector buckets.
+NEARDUP_BUCKET_CAP = 64
 
 
-def embedding_neardup_pairs(
+def _neardup_bucket_ids(
     spark: SparkSession,
     emb: DataFrame,
-    tau: float = 0.4,
-    n_planes: int | None = None,
-    n_tables: int = 6,
-    seed: int = 7,
-    dim: int = 64,
+    n_planes: int | None,
+    n_tables: int,
+    seed: int,
+    dim: int,
+    n_vectors: int | None = None,
 ) -> DataFrame:
+    """(table, bucket, ids) with ids = sorted vec_ids, buckets of size > 1.
+
+    One scan of the embedding table + one shuffle by (table, bucket) —
+    the MinHash-band shape; embeddings are NOT carried through the
+    explode (re-joined later only for surviving candidate ids)."""
     from ..engine.udfs import ship_package
 
     ship_package(spark)
     if n_planes is None:
-        n_planes = default_n_planes(emb.count())
+        n_planes = default_n_planes(
+            emb.count() if n_vectors is None else n_vectors
+        )
     all_planes = [
         hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
     ]
@@ -212,27 +267,57 @@ def embedding_neardup_pairs(
         mat = np.stack(embs.to_numpy()).astype(np.float64)
         return pd.Series(list(bucket_codes(mat, bc.value)))
 
-    with_b = emb.select(
+    codes = emb.select(
         "vec_id",
-        "embedding",
         F.posexplode(buckets_of(F.col("embedding"))).alias("table", "bucket"),
     )
-    a = with_b.select(
-        F.col("table"),
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+    return (
+        codes.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = with_b.select(
-        F.col("table"),
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    buckets = _neardup_bucket_ids(
+        spark, emb, n_planes, n_tables, seed, dim, n_vectors
     )
-    pairs = (
-        a.join(b, on=["table", "bucket"])
+    # all pairs within small buckets; star pairs (bucket-min, member) above
+    # the cap — ids is sorted, so element_at(ids, 1) is the bucket min.
+    small = (
+        buckets.filter(F.size("ids") <= NEARDUP_BUCKET_CAP)
+        .select(F.col("ids"), F.explode("ids").alias("vec_a"))
+        .select("vec_a", F.explode("ids").alias("vec_b"))
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    star = (
+        buckets.filter(F.size("ids") > NEARDUP_BUCKET_CAP)
+        .select(
+            F.element_at("ids", 1).alias("vec_a"),
+            F.explode("ids").alias("vec_b"),
+        )
+        .filter(F.col("vec_a") != F.col("vec_b"))
+    )
+    cand = small.union(star).dropDuplicates(["vec_a", "vec_b"])
+    pairs = cand.join(
+        emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        ),
+        on="vec_a",
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        ),
+        on="vec_b",
     )
     dot = F.aggregate(
         F.zip_with(
@@ -263,14 +348,40 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(spark, emb)
 
 
-def expected_neardup_pairs(
-    emb: pd.DataFrame,
-    tau: float = 0.4,
+def embedding_neardup_hot_buckets(
+    spark: SparkSession,
+    emb: DataFrame,
     n_planes: int | None = None,
     n_tables: int = 6,
     seed: int = 7,
-) -> pd.DataFrame:
-    """NumPy re-computation of embedding_neardup_pairs (fixture oracle)."""
+    dim: int = 64,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Audit of buckets star-reduced by NEARDUP_BUCKET_CAP (no-silent-caps
+    rule): every oversized (table, bucket) with its size."""
+    buckets = _neardup_bucket_ids(
+        spark, emb, n_planes, n_tables, seed, dim, n_vectors
+    )
+    return buckets.filter(F.size("ids") > NEARDUP_BUCKET_CAP).select(
+        "table", "bucket", F.size("ids").alias("bucket_size")
+    )
+
+
+def dedup_embedding_neardup_hot_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_hot_buckets(spark, emb)
+
+
+def _expected_neardup_buckets(
+    emb: pd.DataFrame,
+    n_planes: int | None,
+    n_tables: int,
+    seed: int,
+):
+    """Shared twin of _neardup_bucket_ids: (vec_ids, per-table list of
+    member-index arrays per bucket of size > 1, with table/bucket keys)."""
     ordered = emb.sort_values("vec_id")
     M = np.stack(ordered["embedding"].to_numpy()).astype(np.float64)
     vec_ids = ordered["vec_id"].to_numpy()
@@ -281,18 +392,43 @@ def expected_neardup_pairs(
         hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
     ]
     codes = bucket_codes(M, all_planes)
-    cand: set[tuple[int, int]] = set()
+    buckets = []
     for t in range(n_tables):
         order = np.argsort(codes[:, t], kind="stable")
         c = codes[order, t]
         bounds = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1], [True])))
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s > 1:
-                members = order[s:e]
-                for i in range(len(members)):
-                    for j in range(i + 1, len(members)):
-                        x, y = int(members[i]), int(members[j])
-                        cand.add((min(x, y), max(x, y)))
+                buckets.append((t, int(c[s]), order[s:e]))
+    return M, vec_ids, buckets
+
+
+def expected_neardup_pairs(
+    emb: pd.DataFrame,
+    tau: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """NumPy re-computation of embedding_neardup_pairs (fixture oracle),
+    including the NEARDUP_BUCKET_CAP all-pairs -> star-pairs switch."""
+    M, vec_ids, buckets = _expected_neardup_buckets(
+        emb, n_planes, n_tables, seed
+    )
+    cand: set[tuple[int, int]] = set()
+    for _t, _b, members in buckets:
+        if len(members) <= NEARDUP_BUCKET_CAP:
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    x, y = int(members[i]), int(members[j])
+                    cand.add((min(x, y), max(x, y)))
+        else:
+            # star reduction: members is index-into-vec_id-sorted order,
+            # so the min member index is the bucket-min vec_id.
+            mn = int(members.min())
+            for m in members:
+                if int(m) != mn:
+                    cand.add((mn, int(m)))
     rows = []
     for i, j in sorted(cand):
         if vec_ids[i] == vec_ids[j]:
@@ -305,6 +441,24 @@ def expected_neardup_pairs(
             va, vb = int(vec_ids[i]), int(vec_ids[j])
             rows.append((min(va, vb), max(va, vb), r))
     return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+
+def expected_neardup_hot_buckets(
+    emb: pd.DataFrame,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """NumPy re-computation of embedding_neardup_hot_buckets."""
+    _M, _ids, buckets = _expected_neardup_buckets(emb, n_planes, n_tables, seed)
+    rows = [
+        (t, b, len(members))
+        for t, b, members in buckets
+        if len(members) > NEARDUP_BUCKET_CAP
+    ]
+    return pd.DataFrame(
+        rows, columns=["table", "bucket", "bucket_size"]
+    ).astype({"table": "int32", "bucket": "int64", "bucket_size": "int32"})
 
 
 # ---------------------------------------------------------------------------
@@ -326,8 +480,13 @@ def kmeans_centroids(
     mat: np.ndarray, n_cells: int = 32, iters: int = 8, seed: int = 11
 ) -> np.ndarray:
     """Deterministic Lloyd k-means (fixed seed init, fixed iteration
-    count — reproducible across driver, fixture generator, and tests)."""
+    count — reproducible across driver, fixture generator, and tests).
+    n_cells is clamped to the sample size so tiny embedding tables train a
+    degenerate-but-valid codebook instead of crashing; the clamp lives
+    HERE so ivf_ann and the NumPy twin expected_ivf_topk stay in
+    lockstep."""
     rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(mat))
     cent = mat[rng.choice(len(mat), n_cells, replace=False)].copy()
     for _ in range(iters):
         d = ((mat[:, None, :] - cent[None]) ** 2).sum(-1)
@@ -339,12 +498,19 @@ def kmeans_centroids(
     return cent
 
 
-def _train_sample(emb: DataFrame) -> np.ndarray:
-    """Bounded, deterministic, vec_id-ordered training sample."""
-    n = emb.count()
+def _train_sample(emb: DataFrame, n_vectors: int | None = None) -> np.ndarray:
+    """Bounded, deterministic, vec_id-ordered training sample.
+
+    Selection is ``pmod(xxhash64(vec_id), mod) == 0`` — id-distribution
+    independent (a plain ``vec_id % mod`` collapses on sparse or strided
+    id spaces, degenerating the codebook below n_cells); the NumPy twin
+    replicates it bit-exactly via ``xxh64_long``."""
+    n = emb.count() if n_vectors is None else n_vectors
     mod = max(1, -(-n // IVF_TRAIN_CAP))  # ceil
     rows = (
-        emb.filter(F.col("vec_id") % mod == 0)
+        emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("long")), F.lit(mod)) == 0
+        )
         .select("vec_id", "embedding")
         .collect()
     )
@@ -360,13 +526,15 @@ def ivf_ann(
     topk: int = 3,
     n_query: int = 8,
     seed: int = 11,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """IVF cosine top-k: same output shape as sim_cosine_topk but only
-    vectors in the query's nprobe nearest cells are scored."""
+    vectors in the query's nprobe nearest cells are scored. ``n_vectors``
+    as in lsh_bucket_ann (count hint for non-plain-parquet inputs)."""
     from ..engine.udfs import ship_package
 
     ship_package(spark)
-    cent = kmeans_centroids(_train_sample(emb), n_cells, seed=seed)
+    cent = kmeans_centroids(_train_sample(emb, n_vectors), n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
 
     @F.pandas_udf(LongType())
@@ -451,7 +619,8 @@ def expected_ivf_topk(
     vec_ids = ordered["vec_id"].to_numpy()
     n = len(M)
     mod = max(1, -(-n // IVF_TRAIN_CAP))
-    train = M[vec_ids % mod == 0]
+    sel = np.array([xxh64_long(int(v)) % mod == 0 for v in vec_ids])
+    train = M[sel]
     cent = kmeans_centroids(train, n_cells, seed=seed)
     d = ((M[:, None, :] - cent[None]) ** 2).sum(-1)
     assign = d.argmin(1)

@@ -58,6 +58,13 @@ def gen_neardup() -> pd.DataFrame:
     return expected_neardup_pairs(emb)
 
 
+def gen_neardup_hot_buckets() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_neardup_hot_buckets
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_neardup_hot_buckets(emb)
+
+
 def gen_detect_counts(docs: pd.DataFrame) -> pd.DataFrame:
     from lingua_spark.oracle import OracleDetector
     from lingua_spark.resources import oracle_tables
@@ -138,6 +145,7 @@ def main() -> None:
         "ann_lsh_topk": gen_ann,
         "ann_ivf_topk": gen_ivf,
         "dedup_embedding_neardup": gen_neardup,
+        "dedup_embedding_neardup_hot_buckets": gen_neardup_hot_buckets,
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
         "multilang_sections": lambda: gen_multilang(docs),

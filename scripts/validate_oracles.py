@@ -37,7 +37,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from lingua_spark.engine.pipeline import build_session
-    from lingua_spark.ops.queries import TABLES
+    from lingua_spark.ops.queries import (
+        FIXTURE_ORACLE_QUERIES,
+        FIXTURE_SF_DIR,
+        TABLES,
+    )
 
     only = set(sys.argv[2:])
     spark = build_session(app="validate-oracles", master="local[8]")
@@ -58,6 +62,16 @@ def main() -> int:
         dsql = oracles.get(name)
         if dsql is None:
             print(f"SKIP {name}: no oracle (rows-only at the driver)")
+            continue
+        if name in FIXTURE_ORACLE_QUERIES and Path(sf_dir).resolve() != Path(
+            FIXTURE_SF_DIR
+        ).resolve():
+            print(
+                f"SKIP {name}: fixture oracle is frozen at {FIXTURE_SF_DIR};"
+                f" comparing it against {sf_dir} would mismatch by"
+                " construction (regenerate via scripts/gen_expected_fixtures.py"
+                " to validate at another scale)"
+            )
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()

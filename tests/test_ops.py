@@ -126,6 +126,94 @@ def test_embedding_neardup_planted_duplicates(spark):
     assert recall >= 0.8
 
 
+def test_embedding_neardup_hot_bucket_star_reduction(spark):
+    """ADVICE r02 (medium): a 200-member near-identical cluster — the
+    exact workload a near-dup operator exists for — must NOT emit O(m^2)
+    pairs. Above NEARDUP_BUCKET_CAP the bucket switches to star pairs:
+    output stays O(m) while the cluster remains ONE connected component
+    (what union-find dedup consumes), and the audit query surfaces the
+    oversized buckets instead of capping silently."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import (
+        embedding_neardup_hot_buckets,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(64)
+    m = 200
+    rows = [
+        (i, (base + 0.02 * rng.standard_normal(64)).astype("float32").tolist())
+        for i in range(m)
+    ]
+    rows += [
+        (m + i, rng.standard_normal(64).astype("float32").tolist())
+        for i in range(56)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = embedding_neardup_pairs(spark, emb, tau=0.9).toPandas()
+    # O(m), not O(m^2): uncapped all-pairs would be ~19,900 rows x 6 tables
+    assert 0 < len(got) < 1000
+    # connected components preserved: all 200 cluster members reachable
+    parent = list(range(m + 56))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(got.vec_a, got.vec_b):
+        parent[find(int(a))] = find(int(b))
+    roots = {find(i) for i in range(m)}
+    assert len(roots) == 1
+    # the cap is surfaced, not silent
+    audit = embedding_neardup_hot_buckets(spark, emb).toPandas()
+    assert len(audit) >= 1
+    assert (audit.bucket_size > 64).all()
+
+
+def test_ivf_small_table_does_not_crash(spark):
+    """ADVICE r02 (low): n_cells is clamped to the training-sample size, so
+    ivf_ann works on embedding tables smaller than the default 32 cells."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import ivf_ann
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, rng.standard_normal(64).astype("float32").tolist())
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = ivf_ann(spark, emb, n_query=2).toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_xxh64_long_matches_spark(spark):
+    """Pin the Python twin of Spark's xxhash64-over-long (IVF sample
+    selection must stay bit-identical between ivf_ann and the NumPy
+    fixture oracle)."""
+    from pyspark.sql import functions as F
+
+    from lingua_spark.ops.similarity import xxh64_long
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.h
+        for r in df.select("v", F.xxhash64(F.col("v")).alias("h")).collect()
+    }
+    for v in vals:
+        assert xxh64_long(v) == got[v]
+
+
 def test_multimodal_feature_plumbing(spark):
     from lingua_spark.ops.multimodal import (
         FEATURE_DIM,
