@@ -123,11 +123,17 @@ def gen_quality_summary(docs: pd.DataFrame) -> pd.DataFrame:
 
 
 def gen_multilang(docs: pd.DataFrame) -> pd.DataFrame:
-    from lingua_spark.core.detector import Detector
+    """Sections from the DICT oracle (VERDICT r02 item 6): the engine UDF
+    runs core.multilang over the NumPy-packed Detector; this fixture runs
+    the same section logic over OracleDetector (plain-dict lookups,
+    independent scoring path) — the gate then checks detection semantics,
+    not just Spark plumbing. Bit-identical by the 3-way parity invariant
+    (np.add.reduceat summation on both sides)."""
     from lingua_spark.core.multilang import detect_multi_language
-    from lingua_spark.resources import packed_models
+    from lingua_spark.oracle import OracleDetector
+    from lingua_spark.resources import oracle_tables
 
-    det = Detector(models=packed_models())
+    det = OracleDetector(tables=oracle_tables())
     rows = []
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         secs = detect_multi_language(text if isinstance(text, str) else "", det)
