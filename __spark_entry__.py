@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_embedding_neardup_hot_buckets_query,
         dedup_embedding_neardup_query,
         detect_language_counts,
+        jaccard_pairs_df,
         make_sql_query,
         multilang_sections_summary,
         quality_pipeline_summary,
@@ -58,6 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_neardup_hot_buckets"] = (
         dedup_embedding_neardup_hot_buckets_query
     )
+    # persisted-shingle DataFrame variant of dedup_jaccard_pairs (the
+    # 100x-scale shape: one shingle explode, cached, same hash joins);
+    # value-identical to the SQL form, shares its DuckDB oracle
+    out["dedup_jaccard_pairs_df"] = jaccard_pairs_df
     return out
 
 
@@ -74,4 +79,6 @@ def oracle_sql() -> dict[str, str]:
     # and frozen as Parquet — DuckDB reads the fixture.
     for name in FIXTURE_ORACLE_QUERIES:
         out[name] = fixture_oracle_sql(name)
+    # the DF variant computes the same result as the SQL form
+    out["dedup_jaccard_pairs_df"] = out["dedup_jaccard_pairs"]
     return out

@@ -254,6 +254,70 @@ WHERE p.rare_common >= 2
 """
 
 
+def jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-shingle Jaccard candidate pairs — the 100x-scale variant
+    of ``dedup_jaccard_pairs`` (VERDICT r02 item 4).
+
+    The SQL registry form re-evaluates the shingle CTE 3x (Spark inlines
+    multi-referenced CTEs); that is the FASTEST local shape (measured
+    5 s vs 28 s for posting-list/window rewrites, BENCH/BASELINE.md) but
+    at 100 TB three scans of the shingle explode are real. This variant
+    persists the shingle DataFrame ONCE (MEMORY_AND_DISK — spills instead
+    of recomputing) and runs the same hash joins; output is
+    value-identical to the SQL form and shares its DuckDB oracle. The
+    physical plan has exactly one shingle explode (asserted by
+    tests/test_ops.py::test_jaccard_df_single_explode)."""
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    c = _cleaned("spark")
+    sh = spark.sql(
+        f"SELECT DISTINCT doc_id, explode({_shingles('spark', 'c', 4)}) AS s"
+        f" FROM (SELECT doc_id, {c} AS c FROM documents)"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("s")
+    )
+    rsh = sh.join(rare, on="s")
+    pairs = (
+        rsh.alias("a")
+        .join(
+            rsh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("rare_common"))
+        .filter(F.col("rare_common") >= 2)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "rare_common",
+            F.round(
+                F.col("rare_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("rare_common")),
+                4,
+            ).alias("jaccard_lb"),
+        )
+    )
+
+
 def _cosine_topk(dialect: str, n_query: int = 8, topk: int = 3) -> str:
     """Brute-force cosine top-k (the ANN baseline). Spark: broadcast the
     tiny query side against the full embedding table; dot/norms via

@@ -196,6 +196,38 @@ def test_ivf_small_table_does_not_crash(spark):
     assert set(got.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
 
 
+def test_jaccard_df_matches_sql_and_single_explode(spark):
+    """VERDICT r02 item 4: the persisted-shingle DF variant must be
+    value-identical to the 3x-CTE SQL form AND physically evaluate the
+    shingle explode exactly once (the 100x-scale property)."""
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        jaccard_pairs_df,
+        register_views,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    register_views(spark, sfd)
+    sql_res = (
+        spark.sql(SQL_QUERIES["dedup_jaccard_pairs"][0])
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    df = jaccard_pairs_df(spark, sfd)
+    got = df.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(got) > 0
+    assert got.equals(sql_res.astype(got.dtypes.to_dict()))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # all three shingle consumers (sizes, rare, rsh self-join sides) must
+    # read the CACHE — InMemoryTableScan — not re-evaluate the explode
+    # inline (the plan printer re-prints the cached plan under every
+    # InMemoryTableScan, so counting Generate occurrences is meaningless;
+    # an inlined re-evaluation would surface as a FileScan+Generate chain
+    # NOT wrapped in an InMemoryRelation)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
 def test_xxh64_long_matches_spark(spark):
     """Pin the Python twin of Spark's xxhash64-over-long (IVF sample
     selection must stay bit-identical between ivf_ann and the NumPy
