@@ -93,22 +93,31 @@ def _primary_vote_table(languages: frozenset[str]) -> np.ndarray:
 _ALL_LANG_NAMES = tuple(l.name for l in L.LANGUAGES)
 
 
+@lru_cache(maxsize=8)
+def _rules_setup(languages: tuple[str, ...]):
+    """(in_detector mask, primary-vote table, uniq-lang mask) for a
+    languages tuple — rebuilt per ROW before this cache existed (three
+    79-iteration Python loops per call, measured in the profile)."""
+    lang_set = frozenset(languages)
+    in_detector = np.zeros(L.N_LANGUAGES, dtype=bool)
+    for name in languages:
+        in_detector[L.ORDINAL[name]] = True
+    primary = _primary_vote_table(lang_set)
+    uniq_lang_ok = np.zeros(L.N_LANGUAGES, dtype=bool)
+    for lang in L.LANGUAGES_WITH_UNIQUE_CHARS:
+        if lang.name in lang_set:
+            uniq_lang_ok[lang.ordinal] = True
+    return in_detector, primary, uniq_lang_ok
+
+
 def detect_language_with_rules(
     codes: np.ndarray,
     spans: np.ndarray,
     languages: tuple[str, ...] = _ALL_LANG_NAMES,
 ) -> str:
     """Per-word rule voting; returns a language name or 'UNKNOWN'."""
-    lang_set = frozenset(languages)
-    in_detector = np.zeros(L.N_LANGUAGES, dtype=bool)
-    for name in languages:
-        in_detector[L.ORDINAL[name]] = True
-    primary = _primary_vote_table(lang_set)
+    in_detector, primary, uniq_lang_ok = _rules_setup(languages)
     uniq_table, uniq_groups = _unique_char_table()
-    uniq_lang_ok = np.zeros(L.N_LANGUAGES, dtype=bool)
-    for lang in L.LANGUAGES_WITH_UNIQUE_CHARS:
-        if lang.name in lang_set:
-            uniq_lang_ok[lang.ordinal] = True
 
     sids_all = script_ids(codes)
     logo_all = is_logogram_char(codes)
@@ -129,14 +138,20 @@ def detect_language_with_rules(
     totals = np.zeros(L.N_LANGUAGES + 1, dtype=np.float64)  # [-1] = UNKNOWN
     adjusted_word_count = 0.0
 
-    for s, e in spans:
+    # bulk-count words with NO voting character (the common case on
+    # shared-script text): they all contribute FULL_WORD_VALUE to UNKNOWN,
+    # so only voting words need the per-word Python loop
+    vote_all = uc_hit_all | (prim_all >= 0)
+    cs = np.concatenate(([0], np.cumsum(vote_all)))
+    has_vote = (cs[spans[:, 1]] - cs[spans[:, 0]]) > 0
+    n_novote = int((~has_vote).sum())
+    totals[UNKNOWN_ORD] += L.FULL_WORD_VALUE * n_novote
+    adjusted_word_count += L.FULL_WORD_VALUE * n_novote
+
+    for s, e in spans[has_vote]:
         prim_hits = prim_all[s:e]
         prim_hits = prim_hits[prim_hits >= 0]
         uc = np.flatnonzero(uc_hit_all[s:e])
-        if uc.size == 0 and prim_hits.size == 0:
-            totals[UNKNOWN_ORD] += L.FULL_WORD_VALUE
-            adjusted_word_count += L.FULL_WORD_VALUE
-            continue
         votes = np.zeros(L.N_LANGUAGES, dtype=np.int64)
         if prim_hits.size:
             np.add.at(votes, prim_hits, 1)

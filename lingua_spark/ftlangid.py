@@ -96,6 +96,33 @@ class FastTextish:
             out[i] = self.predict_ord_cleaned(c)
         return out
 
+    def predict_ords_vectorized(self, cleaned_list: list[str]) -> np.ndarray:
+        """Cross-row blob variant of predict_ords: one concatenated bucket
+        stream, one weight gather, per-row segment sums via reduceat.
+
+        Kept behind QualityConfig.vectorized_batch_scoring (default off):
+        in THIS environment the large fresh gather pays a pathological
+        first-touch page-fault cost and measures slower than the per-row
+        loop (see BENCH/BASELINE.md), but on a normally-behaving host the
+        blob shape is the conventional winner — the flag lets a real
+        cluster re-measure without a code change. Prediction parity with
+        predict_ords is pinned by tests/test_quality.py."""
+        out = np.full(len(cleaned_list), -1, dtype=np.int64)
+        bucket_arrays = [_buckets(c) for c in cleaned_list]
+        sizes = np.array([b.size for b in bucket_arrays], dtype=np.int64)
+        nonempty = np.flatnonzero(sizes > 0)
+        if nonempty.size == 0:
+            return out
+        blob = np.concatenate([bucket_arrays[i] for i in nonempty]).astype(
+            np.int64
+        )
+        g = self.weights[blob].astype(np.float64)  # (total_windows, N_LANG)
+        starts = np.zeros(nonempty.size, dtype=np.int64)
+        starts[1:] = np.cumsum(sizes[nonempty])[:-1]
+        sums = np.add.reduceat(g, starts, axis=0)
+        out[nonempty] = np.argmax(sums, axis=1)
+        return out
+
     def predict(self, text: str) -> str:
         o = self.predict_ord(text)
         return L.UNKNOWN if o < 0 else L.LANGUAGES[o].name

@@ -74,53 +74,130 @@ def read_model_table(path: str | Path) -> pd.DataFrame:
     return pd.read_parquet(path)
 
 
+def _lang_groups() -> dict[str, np.ndarray]:
+    """Language groups keyed by primary script (scripts[0]): a language's
+    model rows all live in its group's block."""
+    groups: dict[str, list[int]] = {}
+    for lang in L.LANGUAGES:
+        groups.setdefault(lang.scripts[0], []).append(lang.ordinal)
+    return {g: np.array(sorted(o), dtype=np.int64) for g, o in groups.items()}
+
+
 @dataclass
 class PackedModels:
-    """Driver-packed broadcastable lookup: per n, sorted hash keys + dense
-    float32 frequency matrix over all languages (ordinal-indexed columns)."""
+    """Driver-packed broadcastable lookup: per (n, language-group), sorted
+    hash keys + a dense float32 frequency matrix over THAT GROUP's
+    languages only.
 
-    keys: dict[int, np.ndarray]  # n -> sorted uint64 (k_n,)
-    freqs: dict[int, np.ndarray]  # n -> float32 (k_n, N_LANGUAGES)
+    Why grouped: a gram only ever has frequencies for languages of one
+    script, so a single (keys x 79) matrix is ~96% zeros — with the
+    script-wide trigram background it measured 103 MB, and 32 executor
+    workers random-gathering 100+ MB tables saturate memory bandwidth
+    (per-core throughput fell to ~26% of single-process). The grouped
+    blocks hold the same values in ~4x less memory, and a lookup for one
+    script's candidate languages touches only that script's block."""
+
+    groups: dict[str, np.ndarray]  # group -> sorted global ordinals
+    keys: dict[tuple[int, str], np.ndarray]  # (n, group) -> sorted uint64
+    freqs: dict[tuple[int, str], np.ndarray]  # (n, group) -> f32 (k, |group|)
+    local_col: dict[str, np.ndarray]  # group -> (N_LANGUAGES,) global->local
+    group_of: dict[int, str] | None = None  # global ordinal -> group name
+
+    def __post_init__(self) -> None:
+        if self.group_of is None:
+            self.group_of = {
+                int(o): g for g, ords in self.groups.items() for o in ords
+            }
 
     @classmethod
     def from_table(cls, df: pd.DataFrame) -> "PackedModels":
-        keys: dict[int, np.ndarray] = {}
-        freqs: dict[int, np.ndarray] = {}
-        for n in NGRAM_RANGE:
-            sub = df[df["n"] == n]
-            if len(sub) == 0:
-                keys[n] = np.empty(0, dtype=np.uint64)
-                freqs[n] = np.empty((0, L.N_LANGUAGES), dtype=np.float32)
-                continue
+        groups = _lang_groups()
+        lang_group = {}
+        for g, ords in groups.items():
+            for o in ords:
+                lang_group[L.LANGUAGES[o].name] = g
+        local_col = {}
+        for g, ords in groups.items():
+            lc = np.full(L.N_LANGUAGES, -1, dtype=np.int64)
+            lc[ords] = np.arange(len(ords))
+            local_col[g] = lc
+        keys: dict[tuple[int, str], np.ndarray] = {}
+        freqs: dict[tuple[int, str], np.ndarray] = {}
+        df = df.assign(group=df["lang"].map(lang_group))
+        for (n, g), sub in df.groupby(["n", "group"], observed=True):
+            n = int(n)
             h = np.fromiter(
-                (fnv1a(g) for g in sub["ngram"]), dtype=np.uint64, count=len(sub)
+                (fnv1a(gr) for gr in sub["ngram"]),
+                dtype=np.uint64,
+                count=len(sub),
             )
             uniq = np.unique(h)
-            mat = np.zeros((len(uniq), L.N_LANGUAGES), dtype=np.float32)
+            mat = np.zeros((len(uniq), len(groups[g])), dtype=np.float32)
             rows = np.searchsorted(uniq, h)
-            cols = sub["lang"].map(L.ORDINAL).to_numpy(dtype=np.int64)
+            cols = local_col[g][
+                sub["lang"].map(L.ORDINAL).to_numpy(dtype=np.int64)
+            ]
             mat[rows, cols] = sub["freq"].to_numpy(dtype=np.float32)
-            keys[n] = uniq
-            freqs[n] = mat
-        return cls(keys=keys, freqs=freqs)
+            keys[(n, g)] = uniq
+            freqs[(n, g)] = mat
+        return cls(
+            groups=groups, keys=keys, freqs=freqs, local_col=local_col
+        )
+
+    def all_keys(self, n: int) -> np.ndarray:
+        """Union of all groups' key arrays for n (tests/tools)."""
+        parts = [k for (nn, _g), k in self.keys.items() if nn == n]
+        return (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=np.uint64)
+        )
 
     def lookup(
         self, n: int, hashes: np.ndarray, cols: np.ndarray | None = None
     ) -> np.ndarray:
         """(k,) uint64 -> (k, n_cols) float32; 0 where missing. ``cols``
         restricts (and orders) the language columns returned."""
-        keys = self.keys[n]
         ncols = L.N_LANGUAGES if cols is None else len(cols)
-        if keys.size == 0 or hashes.size == 0:
-            return np.zeros((hashes.size, ncols), dtype=np.float32)
-        idx = np.searchsorted(keys, hashes)
-        idx_c = np.minimum(idx, keys.size - 1)
-        found = keys[idx_c] == hashes
+        out = np.zeros((hashes.size, ncols), dtype=np.float32)
+        if hashes.size == 0:
+            return out
         if cols is None:
-            out = self.freqs[n][idx_c]
-        else:
-            out = self.freqs[n][idx_c[:, None], cols[None, :]]
-        return np.where(found[:, None], out, np.float32(0.0))
+            # full-width: each group's block writes its own ordinal slots
+            for g, g_ords in self.groups.items():
+                keys = self.keys.get((n, g))
+                if keys is None or keys.size == 0:
+                    continue
+                idx = np.searchsorted(keys, hashes)
+                idx_c = np.minimum(idx, keys.size - 1)
+                found = keys[idx_c] == hashes
+                if not found.any():
+                    continue
+                sub = self.freqs[(n, g)][idx_c]
+                out[:, g_ords] = np.where(
+                    found[:, None], sub, np.float32(0.0)
+                )
+            return out
+        # restricted: touch only the groups the requested columns live in
+        # (single-group is the common case — per-language perplexity, or
+        # rule-filtered candidates of one script)
+        col_groups: dict[str, list[int]] = {}
+        for pos, o in enumerate(cols):
+            col_groups.setdefault(self.group_of[int(o)], []).append(pos)
+        for g, pos_list in col_groups.items():
+            keys = self.keys.get((n, g))
+            if keys is None or keys.size == 0:
+                continue
+            idx = np.searchsorted(keys, hashes)
+            idx_c = np.minimum(idx, keys.size - 1)
+            found = keys[idx_c] == hashes
+            if not found.any():
+                continue
+            sel = np.array(pos_list, dtype=np.int64)
+            local = self.local_col[g][cols[sel]]
+            sub = self.freqs[(n, g)][idx_c[:, None], local[None, :]]
+            out[:, sel] = np.where(found[:, None], sub, np.float32(0.0))
+        return out
 
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self.keys.values()) + sum(
@@ -147,13 +224,13 @@ class DictBackedModels:
     """
 
     base: PackedModels
-    index: dict[int, dict[int, int]]  # n -> hash -> row in freqs[n]
+    index: dict[tuple[int, str], dict[int, int]]  # (n, group) -> hash -> row
 
     @classmethod
     def from_packed(cls, base: PackedModels) -> "DictBackedModels":
         index = {
-            n: {int(h): i for i, h in enumerate(keys)}
-            for n, keys in base.keys.items()
+            key: {int(h): i for i, h in enumerate(keys)}
+            for key, keys in base.keys.items()
         }
         return cls(base=base, index=index)
 
@@ -161,21 +238,39 @@ class DictBackedModels:
         self, n: int, hashes: np.ndarray, cols: np.ndarray | None = None
     ) -> np.ndarray:
         ncols = L.N_LANGUAGES if cols is None else len(cols)
-        if hashes.size == 0 or not self.index.get(n):
-            return np.zeros((hashes.size, ncols), dtype=np.float32)
-        idx = self.index[n]
-        rows = np.fromiter(
-            (idx.get(int(h), -1) for h in hashes),
-            dtype=np.int64,
-            count=hashes.size,
-        )
-        found = rows >= 0
-        rows_c = np.maximum(rows, 0)
+        out = np.zeros((hashes.size, ncols), dtype=np.float32)
+        if hashes.size == 0:
+            return out
         if cols is None:
-            out = self.base.freqs[n][rows_c]
+            col_groups = {
+                g: list(g_ords) for g, g_ords in self.base.groups.items()
+            }
+            cols_arr = np.arange(L.N_LANGUAGES, dtype=np.int64)
         else:
-            out = self.base.freqs[n][rows_c[:, None], cols[None, :]]
-        return np.where(found[:, None], out, np.float32(0.0))
+            cols_arr = cols
+            col_groups = {}
+            for pos, o in enumerate(cols):
+                col_groups.setdefault(
+                    self.base.group_of[int(o)], []
+                ).append(pos)
+        for g, pos_list in col_groups.items():
+            idx = self.index.get((n, g))
+            if not idx:
+                continue
+            rows = np.fromiter(
+                (idx.get(int(h), -1) for h in hashes),
+                dtype=np.int64,
+                count=hashes.size,
+            )
+            found = rows >= 0
+            if not found.any():
+                continue
+            rows_c = np.maximum(rows, 0)
+            sel = np.array(pos_list, dtype=np.int64)
+            local = self.base.local_col[g][cols_arr[sel]]
+            sub = self.base.freqs[(n, g)][rows_c[:, None], local[None, :]]
+            out[:, sel] = np.where(found[:, None], sub, np.float32(0.0))
+        return out
 
     def nbytes(self) -> int:
         import sys

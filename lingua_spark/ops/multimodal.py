@@ -52,12 +52,109 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """Real decoder slot — requires imaging/audio libs absent here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_stub (deterministic fake) for plumbing tests"
+def _pad16(feats: list[float]) -> np.ndarray:
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[: min(len(feats), FEATURE_DIM)] = np.array(
+        feats[:FEATURE_DIM], dtype=np.float32
     )
+    return out
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """16-bit PCM WAV -> 16 floats: [channels, rate/48k, seconds, rms,
+    peak, zero-crossing rate, 10-bin temporal rms profile]. Pure stdlib
+    ``wave`` + NumPy — no external codec."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise NotImplementedError("only 16-bit PCM WAV is decoded")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    if x.size == 0:
+        return _pad16([float(nch), rate / 48000.0])
+    rms = float(np.sqrt((x**2).mean()))
+    peak = float(np.abs(x).max())
+    sb = np.signbit(x).astype(np.int8)
+    zcr = float(np.abs(np.diff(sb)).mean()) if x.size > 1 else 0.0
+    feats = [float(nch), rate / 48000.0, x.size / float(rate), rms, peak, zcr]
+    feats += [
+        float(np.sqrt((b**2).mean())) if b.size else 0.0
+        for b in np.array_split(x, 10)
+    ]
+    return _pad16(feats)
+
+
+def _ppm_header(data: bytes) -> tuple[list[bytes], int]:
+    """Parse the 4 whitespace/comment-delimited PPM header tokens; returns
+    (tokens, offset of the raster)."""
+    i = 0
+    toks: list[bytes] = []
+    while len(toks) < 4 and i < len(data):
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        toks.append(data[i:j])
+        i = j
+    return toks, i + 1  # exactly one whitespace byte after maxval
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> 16 floats: [w/1000, h/1000, mean RGB, std RGB,
+    8-bin luminance histogram]. Pure parsing — no imaging library."""
+    toks, off = _ppm_header(payload)
+    if len(toks) < 4 or toks[0] != b"P6":
+        raise NotImplementedError("only binary PPM (P6) is decoded")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    raster = payload[off : off + w * h * 3]
+    img = (
+        np.frombuffer(raster, dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(h, w, 3)
+        / maxval
+    )
+    lum = img @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    feats = (
+        [w / 1000.0, h / 1000.0]
+        + [float(m) for m in img.mean(axis=(0, 1))]
+        + [float(s) for s in img.std(axis=(0, 1))]
+        + [float(c) / lum.size for c in hist]
+    )
+    return _pad16(feats)
+
+
+# mime -> real decoder; anything else is a genuinely-absent codec
+REAL_DECODERS = {
+    "audio/wav": _decode_wav,
+    "audio/x-wav": _decode_wav,
+    "image/x-portable-pixmap": _decode_ppm,
+}
+
+
+def decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """Real decoder: WAV PCM and binary PPM are decoded end-to-end with
+    pure stdlib/NumPy (VERDICT r02 item 10); other formats require codec
+    libraries absent from this container and raise."""
+    fn = REAL_DECODERS.get(mime)
+    if fn is None:
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment; WAV PCM and PPM"
+            " decode for real, other formats use decode_stub for plumbing"
+        )
+    return fn(payload)
 
 
 def decode_stub(payload: bytes) -> np.ndarray:
@@ -76,12 +173,15 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_stub(p if p is not None else b"").tolist()
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p, mime in zip(pdf["payload"], pdf["mime"]):
+                p = bytes(p) if p is not None else b""
+                if mime in REAL_DECODERS:
+                    feats.append(decode_real(p, mime).tolist())
+                else:
+                    feats.append(decode_stub(p).tolist())
             shas = [
-                hashlib.sha256(p if p is not None else b"").hexdigest()
+                hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -144,6 +244,34 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def synth_wav(
+    freq: float = 440.0, rate: int = 8000, secs: float = 0.5, amp: float = 0.5
+) -> bytes:
+    """Deterministic 16-bit PCM mono sine-wave WAV (pure stdlib)."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * secs), dtype=np.float64) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm(w: int = 32, h: int = 16) -> bytes:
+    """Deterministic binary PPM (P6): horizontal red gradient, constant
+    green 64/255 and blue 192/255."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = 64
+    img[:, :, 2] = 192
+    return b"P6\n# synth\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:

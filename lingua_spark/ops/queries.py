@@ -254,6 +254,102 @@ WHERE p.rare_common >= 2
 """
 
 
+def _session_window_batch(dialect: str, gap_minutes: int = 30) -> str:
+    """Batch twin of streaming.session_window_metrics (VERDICT r02 item
+    7): Spark's native ``session_window`` evaluated on the static events
+    table; the DuckDB oracle rebuilds the identical semantics via
+    lag + running-sum (a NEW session starts when the gap since the
+    previous event is >= the gap duration; session_end = last event +
+    gap). The streaming variant adds only watermarking on top of the
+    same aggregation (pinned by tests/test_ops.py streaming tests)."""
+    if dialect == "spark":
+        return f"""
+SELECT user_id,
+       session_window.start AS session_start,
+       session_window.end AS session_end,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id, session_window(ts, '{gap_minutes} minutes')
+"""
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+               OR (epoch_us(ts) - epoch_us(prev_ts))
+                  >= {gap_minutes} * 60000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def _conversation_tracker_batch(dialect: str, streak_limit: int = 3) -> str:
+    """Batch twin of streaming.stateful_conversation_tracker: per-
+    conversation turns/kept/dropped plus the trailing consecutive-drop
+    streak and the quarantine flag, over the transcript-mapped documents
+    table. Identical text in both dialects except the keep predicate
+    (dialect array functions); the streaming operator computes the same
+    rollup incrementally in applyInPandasWithState with the full-assess
+    keep (state semantics pinned by the streaming restart pytest)."""
+    toks = _tokens(dialect)
+    if dialect == "spark":
+        keep = f"""length(text) >= 8
+   AND size({toks}) >= 2
+   AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) * 1.0
+       / greatest(length(text), 1) <= 0.3
+   AND size(array_distinct({toks})) * 1.0
+       / greatest(size({toks}), 1) >= 0.2"""
+    else:
+        keep = f"""length(text) >= 8
+   AND len({toks}) >= 2
+   AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) <= 0.3
+   AND len(list_distinct({toks})) * 1.0
+       / greatest(len({toks}), 1) >= 0.2"""
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id % 50 AS BIGINT) AS conv_id,
+         CAST(floor(doc_id / 50.0) AS BIGINT) AS turn_idx,
+         CAST({keep} AS BOOLEAN) AS keep
+  FROM documents
+),
+a AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS turns,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         max(CASE WHEN keep THEN turn_idx END) AS last_keep
+  FROM t GROUP BY conv_id
+),
+streak AS (
+  SELECT t.conv_id, CAST(count(*) AS BIGINT) AS drop_streak
+  FROM t JOIN a ON t.conv_id = a.conv_id
+  WHERE a.last_keep IS NULL OR t.turn_idx > a.last_keep
+  GROUP BY t.conv_id
+)
+SELECT a.conv_id, a.turns, a.kept,
+       CAST(a.turns - a.kept AS BIGINT) AS dropped,
+       coalesce(s.drop_streak, 0) AS drop_streak,
+       CAST(coalesce(s.drop_streak, 0) >= {streak_limit} AS BOOLEAN)
+         AS quarantined
+FROM a LEFT JOIN streak s ON a.conv_id = s.conv_id
+"""
+
+
 def jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-shingle Jaccard candidate pairs — the 100x-scale variant
     of ``dedup_jaccard_pairs`` (VERDICT r02 item 4).
@@ -522,6 +618,14 @@ SQL_QUERIES["dedup_simhash"] = (_simhash_select("spark"), _simhash_select("duckd
 SQL_QUERIES["dedup_jaccard_pairs"] = (_jaccard_pairs("spark"), _jaccard_pairs("duckdb"))
 SQL_QUERIES["sim_cosine_topk"] = (_cosine_topk("spark"), _cosine_topk("duckdb"))
 SQL_QUERIES["w1_sessionize"] = (_sessionize("spark"), _sessionize("duckdb"))
+SQL_QUERIES["session_window_batch"] = (
+    _session_window_batch("spark"),
+    _session_window_batch("duckdb"),
+)
+SQL_QUERIES["conversation_tracker_batch"] = (
+    _conversation_tracker_batch("spark"),
+    _conversation_tracker_batch("duckdb"),
+)
 SQL_QUERIES["pii_scrub_sql"] = (_pii_scrub("spark"), _pii_scrub("duckdb"))
 SQL_QUERIES["langid_stopwords"] = (
     _stopword_langid("spark"),

@@ -118,6 +118,68 @@ def trigram_perplexity_batch(
     return out
 
 
+def _perplexity_windows(cleaned: str):
+    """(h1,h2,h3) hash columns of the valid trigram windows, or None."""
+    codes = codes_of(cleaned)
+    letters = cat_ids(codes) == CAT_LETTER
+    if len(codes) < 3:
+        return None
+    from .core.ngram import _NP_OFFSET, _NP_PRIME
+
+    n = len(codes)
+    cu = codes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (np.uint64(_NP_OFFSET) ^ cu) * np.uint64(_NP_PRIME)
+        h2 = (h1[: n - 1] ^ cu[1:]) * np.uint64(_NP_PRIME)
+        h3 = (h2[: n - 2] ^ cu[2:]) * np.uint64(_NP_PRIME)
+    valid = letters[: n - 2] & letters[1 : n - 1] & letters[2:]
+    if not valid.any():
+        return None
+    return np.column_stack((h1[: n - 2][valid], h2[: n - 2][valid], h3[valid]))
+
+
+def trigram_perplexity_batch_vectorized(
+    cleaned_list: list[str],
+    lang_ords: list[int],
+    models: PackedModels,
+) -> np.ndarray:
+    """Grouped-by-language blob variant of trigram_perplexity_batch: rows
+    sharing a detected language concatenate their windows, so each
+    (depth, language) pair costs ONE searchsorted lookup instead of one
+    per row. Behind QualityConfig.vectorized_batch_scoring — measured
+    slower HERE (first-touch page-fault pathology, BENCH/BASELINE.md) but
+    the conventional winner on a normal host; parity with the per-row
+    path is pinned by tests/test_quality.py."""
+    out = np.full(len(cleaned_list), np.inf, dtype=np.float64)
+    ords = np.asarray(lang_ords, dtype=np.int64)
+    for o in np.unique(ords[ords >= 0]):
+        rows = np.flatnonzero(ords == o)
+        hs = [(i, _perplexity_windows(cleaned_list[i])) for i in rows]
+        hs = [(i, h) for i, h in hs if h is not None]
+        if not hs:
+            continue
+        blob = np.concatenate([h for _, h in hs], axis=0)
+        sizes = np.array([h.shape[0] for _, h in hs], dtype=np.int64)
+        logp = np.full(blob.shape[0], MISS_LOG_PROB, dtype=np.float64)
+        remaining = np.ones(blob.shape[0], dtype=bool)
+        for depth in (3, 2, 1):
+            f = models.lookup(
+                depth,
+                np.ascontiguousarray(blob[:, depth - 1]),
+                np.array([int(o)], dtype=np.int64),
+            )[:, 0]
+            hit = remaining & (f > 0)
+            if hit.any():
+                logp[hit] = np.log(f[hit].astype(np.float64))
+            remaining &= ~hit
+        starts = np.zeros(len(sizes), dtype=np.int64)
+        starts[1:] = np.cumsum(sizes)[:-1]
+        seg = np.add.reduceat(logp, starts)
+        for (i, _h), s, m in zip(hs, seg, sizes):
+            out[i] = float(np.exp(-(s / m)))
+    return out
+
+
 def trigram_perplexity(cleaned: str, lang_ord: int, models: PackedModels) -> float:
     """exp(mean negative trigram log-likelihood) under the detected
     language's model, with the detector's prefix backoff; misses get a
@@ -143,7 +205,11 @@ def trigram_perplexity(cleaned: str, lang_ord: int, models: PackedModels) -> flo
     logp = np.full(h.shape[0], MISS_LOG_PROB, dtype=np.float64)
     remaining = np.ones(h.shape[0], dtype=bool)
     for depth in (3, 2, 1):
-        f = models.lookup(depth, np.ascontiguousarray(h[:, depth - 1]))[:, lang_ord]
+        f = models.lookup(
+            depth,
+            np.ascontiguousarray(h[:, depth - 1]),
+            np.array([lang_ord], dtype=np.int64),
+        )[:, 0]
         hit = remaining & (f > 0)
         if hit.any():
             logp[hit] = np.log(f[hit].astype(np.float64))
@@ -175,6 +241,14 @@ class QualityConfig:
     # benchmark in BENCH/BASELINE.md picked searchsorted as this
     # environment's default.
     increased_detection_speed: bool = False
+    # Batch-scoring shape for the ft cross-check + perplexity stages:
+    # False = per-row loops (measured FASTER in this sandbox — first-touch
+    # page-fault pathology makes large fresh gathers ~15x/3.6x slower,
+    # BENCH/BASELINE.md), True = conventional cross-row blob vectorization
+    # (the expected winner on a normally-behaving host). Results are
+    # identical either way (parity-pinned); the flag exists so a real
+    # cluster can re-measure without a code change.
+    vectorized_batch_scoring: bool = False
     languages: tuple[str, ...] = field(
         default_factory=lambda: tuple(l.name for l in L.LANGUAGES)
     )
@@ -293,11 +367,21 @@ def assess_batch(
     conf_rows = batch_detector.confidence_rows(texts, cleaned_list=cleaned)
     mrd = batch_detector.minimum_relative_distance
     langs = [decide_confidences(c, mrd)[0] for c in conf_rows]
-    ft_ords = ft.predict_ords(cleaned)
+    vectorized = bool(config and config.vectorized_batch_scoring)
+    ft_ords = (
+        ft.predict_ords_vectorized(cleaned)
+        if vectorized
+        else ft.predict_ords(cleaned)
+    )
     lang_ords = [
         L.ORDINAL[lang] if lang != L.UNKNOWN else -1 for lang in langs
     ]
-    ppls = trigram_perplexity_batch(cleaned, lang_ords, batch_detector.models)
+    ppl_fn = (
+        trigram_perplexity_batch_vectorized
+        if vectorized
+        else trigram_perplexity_batch
+    )
+    ppls = ppl_fn(cleaned, lang_ords, batch_detector.models)
     return [
         _finish_assessment(
             t, confs, mrd, batch_detector.models, ft, config,

@@ -459,3 +459,75 @@ def test_unload_models(spark):
     make_detect_udf(spark)
     assert unload_models(spark) >= 1
     assert unload_models(spark) == 0
+
+
+def test_wav_decoder_values():
+    """Real WAV PCM decode (VERDICT r02 item 10) with VALUE assertions:
+    a 440 Hz sine at amplitude 0.5 has rms ~ 0.5/sqrt(2), peak ~ 0.5,
+    zero-crossing rate ~ 2*440/8000."""
+    from lingua_spark.ops.multimodal import decode_real, synth_wav
+
+    f = decode_real(synth_wav(freq=440.0, rate=8000, secs=0.5, amp=0.5),
+                    "audio/wav")
+    assert f.shape == (16,)
+    assert f[0] == 1.0                      # mono
+    assert f[1] == pytest.approx(8000 / 48000.0)
+    assert f[2] == pytest.approx(0.5, abs=1e-3)   # seconds
+    assert f[3] == pytest.approx(0.5 / np.sqrt(2), abs=0.01)  # rms
+    assert f[4] == pytest.approx(0.5, abs=0.01)   # peak
+    assert f[5] == pytest.approx(2 * 440 / 8000, rel=0.05)  # zcr
+    # temporal rms profile is flat for a steady tone
+    assert np.allclose(f[6:16], f[3], atol=0.02)
+
+
+def test_ppm_decoder_values():
+    """Real PPM decode with VALUE assertions: the synthetic gradient has
+    mean R ~ 0.5, G = 64/255, B = 192/255 and zero G/B variance."""
+    from lingua_spark.ops.multimodal import decode_real, synth_ppm
+
+    f = decode_real(synth_ppm(w=32, h=16), "image/x-portable-pixmap")
+    assert f.shape == (16,)
+    assert f[0] == pytest.approx(0.032)  # width/1000
+    assert f[1] == pytest.approx(0.016)
+    assert f[2] == pytest.approx(0.5, abs=0.02)       # mean R (gradient)
+    assert f[3] == pytest.approx(64 / 255, abs=1e-6)  # mean G
+    assert f[4] == pytest.approx(192 / 255, abs=1e-6) # mean B
+    assert f[6] == pytest.approx(0.0, abs=1e-6)       # std G
+    assert f[7] == pytest.approx(0.0, abs=1e-6)       # std B
+    assert np.sum(f[8:16]) == pytest.approx(1.0)      # histogram mass
+
+
+def test_extract_features_uses_real_decoders(spark):
+    """End-to-end through the mapInPandas stage: WAV and PPM rows come
+    back with the REAL decoded features (value-compared against a driver-
+    side decode_real), other mimes keep the stub path."""
+    import pandas as pd
+
+    from lingua_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_real,
+        decode_stub,
+        extract_features,
+        synth_ppm,
+        synth_wav,
+    )
+
+    wav, ppm = synth_wav(), synth_ppm()
+    rows = [
+        (0, "audio", bytearray(wav), "audio/wav", 0, 0, 500),
+        (1, "image", bytearray(ppm), "image/x-portable-pixmap", 32, 16, 0),
+        (2, "video", bytearray(b"\x01\x02" * 64), "application/octet-stream",
+         64, 64, 1000),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = (
+        extract_features(df)
+        .toPandas()
+        .set_index("media_id")["feature"]
+        .to_dict()
+    )
+    assert np.allclose(got[0], decode_real(wav, "audio/wav"), atol=1e-6)
+    assert np.allclose(
+        got[1], decode_real(ppm, "image/x-portable-pixmap"), atol=1e-6
+    )
+    assert np.allclose(got[2], decode_stub(b"\x01\x02" * 64), atol=1e-6)

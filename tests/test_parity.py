@@ -171,7 +171,7 @@ def test_dict_backend_lookup_parity(packed_models):
     dm = DictBackedModels.from_packed(packed_models)
     rng = np.random.default_rng(3)
     for n in (1, 2, 3, 4, 5):
-        keys = packed_models.keys[n]
+        keys = packed_models.all_keys(n)
         if keys.size == 0:
             continue
         hits = rng.choice(keys, size=min(200, keys.size), replace=False)

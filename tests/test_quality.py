@@ -88,3 +88,51 @@ def test_ft_langid_deterministic(ft_model):
     p1 = ft_model.predict("the people of the year")
     p2 = ft_model.predict("the people of the year")
     assert p1 == p2 == "ENGLISH"
+
+
+def test_vectorized_batch_scoring_parity(packed_models, ft_model):
+    """QualityConfig.vectorized_batch_scoring (VERDICT r02 item 8): the
+    cross-row blob variants of the ft cross-check and perplexity stages
+    must produce the same assessments as the per-row default on a real
+    transcript mix (content + noise + PII + empty rows)."""
+    import numpy as np
+
+    from lingua_spark.core.text import clean_up
+    from lingua_spark.corpus import transcripts
+    from lingua_spark.engine.batch import BatchDetector
+    from lingua_spark.quality import (
+        QualityConfig,
+        assess_batch,
+        trigram_perplexity_batch,
+        trigram_perplexity_batch_vectorized,
+    )
+
+    texts = transcripts(n_turns=1500)["text"].tolist() + ["", "   ", "x"]
+    bdet = BatchDetector(models=packed_models)
+    rows = assess_batch(texts, bdet, ft_model, QualityConfig())
+    vrows = assess_batch(
+        texts, bdet, ft_model, QualityConfig(vectorized_batch_scoring=True)
+    )
+    # every decision field identical; perplexity agrees to summation-order
+    # precision (reduceat segment sum vs np.mean pairwise — last-ulp only)
+    for a, b in zip(rows, vrows):
+        for k in a:
+            if k == "perplexity":
+                assert np.isclose(a[k], b[k], rtol=1e-9, equal_nan=True) or (
+                    np.isinf(a[k]) and np.isinf(b[k])
+                )
+            else:
+                assert a[k] == b[k], (k, a[k], b[k])
+    # the perplexity values themselves agree to summation-order precision
+    cleaned = [clean_up(t) for t in texts]
+    ords = [r["lang"] for r in rows]
+    from lingua_spark import langdata as L
+
+    lang_ords = [
+        L.ORDINAL[o] if o != L.UNKNOWN else -1 for o in ords
+    ]
+    a = trigram_perplexity_batch(cleaned, lang_ords, packed_models)
+    b = trigram_perplexity_batch_vectorized(cleaned, lang_ords, packed_models)
+    finite = np.isfinite(a)
+    assert (finite == np.isfinite(b)).all()
+    assert np.allclose(a[finite], b[finite], rtol=1e-9)
