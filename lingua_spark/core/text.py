@@ -36,6 +36,11 @@ from ..uniscript import (
 _TRIM_RE = re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
 # Java default \s is ASCII-only: [ \t\n\x0B\f\r] (Constant.kt:162).
 _ASCII_WS = frozenset(map(ord, " \t\n\x0b\f\r"))
+# codepoint<=0x20 -> is-ASCII-whitespace LUT (hot path: one gather beats
+# np.isin's per-call sort; codes above 0x20 are clamped to 0x20 and then
+# masked back out by the <=0x20 test)
+_WS_LUT = np.zeros(0x21, dtype=bool)
+_WS_LUT[sorted(_ASCII_WS)] = True
 
 LOGO_SCRIPT_IDS = np.array(
     sorted(SCRIPT_ID[s] for s in SCRIPTS_WITH_LOGOGRAMS), dtype=np.uint8
@@ -56,7 +61,7 @@ def clean_up(text: str) -> str:
     codes = codes[keep]
     if codes.size == 0:
         return ""
-    is_ws = np.isin(codes, np.fromiter(_ASCII_WS, dtype=np.uint32))
+    is_ws = _WS_LUT[np.minimum(codes, np.uint32(0x20))] & (codes <= 0x20)
     # collapse runs of ASCII whitespace to a single ' '
     codes = np.where(is_ws, np.uint32(0x20), codes)
     prev_ws = np.concatenate(([False], is_ws[:-1]))
@@ -78,6 +83,8 @@ def word_spans(codes: np.ndarray) -> np.ndarray:
     d = np.diff(np.concatenate(([0], wc.view(np.int8), [0])))
     starts = np.flatnonzero(d == 1)
     ends = np.flatnonzero(d == -1)
+    if not logo.any():  # common case: no logograms -> starts are already
+        return np.stack([starts, ends], axis=1)  # ascending, nothing to merge
     logos = np.flatnonzero(logo)
     spans = np.concatenate(
         [

@@ -54,6 +54,12 @@ def _buckets(cleaned: str) -> np.ndarray:
 @dataclass
 class FastTextish:
     weights: np.ndarray  # float32 (N_BUCKETS, N_LANGUAGES) log-probs
+    # per-process scratch for the per-row weight gather: reusing one buffer
+    # keeps the gather in warm allocator pages (fresh ~275 KB temporaries
+    # per 300-char row pay this sandbox's first-touch page-fault cost,
+    # BENCH/BASELINE.md). Bit-identical: ndarray.sum's pairwise tree
+    # depends only on the element count, not the buffer identity.
+    _scratch: np.ndarray | None = None
 
     @classmethod
     def train(cls, corpus: dict[str, list[str]], alpha: float = 1.0) -> "FastTextish":
@@ -76,9 +82,16 @@ class FastTextish:
         b = _buckets(cleaned)
         if b.size == 0:
             return -1
-        scores = self.weights[b.astype(np.int64)].sum(
-            axis=0, dtype=np.float64
-        )
+        n = b.size
+        buf = self._scratch
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty(
+                (max(2 * n, 4096), self.weights.shape[1]),
+                dtype=self.weights.dtype,
+            )
+            self._scratch = buf
+        g = np.take(self.weights, b.astype(np.int64), axis=0, out=buf[:n])
+        scores = g.sum(axis=0, dtype=np.float64)
         return int(np.argmax(scores))  # argmax ties -> lowest ordinal
 
     def predict_ords(self, cleaned_list: list[str]) -> np.ndarray:

@@ -181,6 +181,22 @@ class PackedModels:
         # restricted: touch only the groups the requested columns live in
         # (single-group is the common case — per-language perplexity, or
         # rule-filtered candidates of one script)
+        if ncols == 1:
+            # fast path for the perplexity stage's one-language lookups:
+            # ~18k calls per 6k-row batch, so the generic path's per-call
+            # dict/array assembly is measurable (profiled ~25% of lookup)
+            o = int(cols[0])
+            g = self.group_of[o]
+            keys = self.keys.get((n, g))
+            if keys is None or keys.size == 0:
+                return out
+            idx_c = np.minimum(np.searchsorted(keys, hashes), keys.size - 1)
+            found = keys[idx_c] == hashes
+            if not found.any():
+                return out
+            sub = self.freqs[(n, g)][idx_c, self.local_col[g][o]]
+            out[:, 0] = np.where(found, sub, np.float32(0.0))
+            return out
         col_groups: dict[str, list[int]] = {}
         for pos, o in enumerate(cols):
             col_groups.setdefault(self.group_of[int(o)], []).append(pos)

@@ -163,6 +163,8 @@ def trigram_perplexity_batch_vectorized(
         logp = np.full(blob.shape[0], MISS_LOG_PROB, dtype=np.float64)
         remaining = np.ones(blob.shape[0], dtype=bool)
         for depth in (3, 2, 1):
+            if not remaining.any():
+                break
             f = models.lookup(
                 depth,
                 np.ascontiguousarray(blob[:, depth - 1]),
@@ -204,11 +206,12 @@ def trigram_perplexity(cleaned: str, lang_ord: int, models: PackedModels) -> flo
     h = np.column_stack((h1[: n - 2][valid], h2[: n - 2][valid], h3[valid]))
     logp = np.full(h.shape[0], MISS_LOG_PROB, dtype=np.float64)
     remaining = np.ones(h.shape[0], dtype=bool)
+    col = np.array([lang_ord], dtype=np.int64)
     for depth in (3, 2, 1):
+        if not remaining.any():  # all windows already resolved: skip
+            break                # remaining lookups (they contribute 0)
         f = models.lookup(
-            depth,
-            np.ascontiguousarray(h[:, depth - 1]),
-            np.array([lang_ord], dtype=np.int64),
+            depth, np.ascontiguousarray(h[:, depth - 1]), col
         )[:, 0]
         hit = remaining & (f > 0)
         if hit.any():
@@ -253,6 +256,9 @@ class QualityConfig:
         default_factory=lambda: tuple(l.name for l in L.LANGUAGES)
     )
 
+
+# language name -> ISO 639-1, resolved once (hot in _finish_assessment)
+_ISO1 = {l.name: l.iso1 for l in L.LANGUAGES}
 
 RESULT_FIELDS = [
     "lang", "confidence", "confidences", "perplexity", "ft_lang",
@@ -339,7 +345,7 @@ def _finish_assessment(
     return {
         "lang": lang,
         "confidence": float(confidence),
-        "confidences": {L.BY_NAME[k].iso1: v for k, v in confs} if confs else {},
+        "confidences": {_ISO1[k]: v for k, v in confs} if confs else {},
         "perplexity": ppl,
         "ft_lang": ft_lang,
         "langid_agree": bool(agree),
