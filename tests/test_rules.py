@@ -242,3 +242,82 @@ def test_detection_is_deterministic(packed_models):
     det = Detector(models=packed_models)
     results = {det.detect("das ist ein deutscher satz") for _ in range(25)}
     assert len(results) == 1
+
+
+def test_filter_chars_to_languages_vectorized_matches_reference_loop():
+    """The vectorized (word, group) expansion in filter_languages_mask must
+    equal the reference's per-word loop (LanguageDetector.kt:518-535: each
+    language at most once per word, only filtered candidates count) on
+    texts dense in mapped characters."""
+    import numpy as np
+
+    from lingua_spark.core import rules as R
+    from lingua_spark.core.text import word_spans
+
+    mapped = sorted(L.CHARS_TO_LANGUAGES)
+    rng = np.random.default_rng(7)
+
+    def reference_counts(codes, spans, filtered_mask):
+        c2l_table, c2l_groups = R._chars_to_languages_table()
+        gids_all = c2l_table[np.minimum(codes, R._MAX_CP - 1)]
+        has_gid = gids_all >= 0
+        lang_counts = np.zeros(L.N_LANGUAGES, dtype=np.int64)
+        for s, e in spans:
+            w = gids_all[s:e]
+            w = w[has_gid[s:e]]
+            if w.size == 0:
+                continue
+            seen = np.zeros(L.N_LANGUAGES, dtype=bool)
+            for gid in w:
+                ords = c2l_groups[gid]
+                sel = ords[filtered_mask[ords] & ~seen[ords]]
+                seen[sel] = True
+            lang_counts[seen] += 1
+        return lang_counts
+
+    for trial in range(50):
+        words = []
+        for _ in range(int(rng.integers(1, 8))):
+            chars = [
+                "abcdefgh"[int(rng.integers(0, 8))]
+                if rng.random() < 0.5
+                else mapped[int(rng.integers(0, len(mapped)))]
+                for _ in range(int(rng.integers(1, 7)))
+            ]
+            words.append("".join(chars))
+        text = " ".join(words)
+        codes = codes_of(text)
+        spans = word_spans(codes)
+        got = R.filter_languages_mask(codes, spans)
+        # recompute what the mask would be with the reference loop's counts
+        det_mask, script_langs = R._lang_masks(
+            frozenset(n for n in (l.name for l in L.LANGUAGES))
+        )
+        # reproduce phase 1 to get filtered_mask + adjusted word count
+        sids_all = R.script_ids(codes)
+        starts, ends = spans[:, 0], spans[:, 1]
+        mark = np.zeros(codes.size + 1, dtype=np.int8)
+        mark[starts] += 1
+        mark[ends] -= 1
+        pos = np.flatnonzero(np.cumsum(mark[:-1]) > 0)
+        wid = np.searchsorted(starts, pos, side="right") - 1
+        packed = sids_all[pos]
+        offsets = np.searchsorted(wid, np.arange(spans.shape[0] + 1))
+        wmin = np.minimum.reduceat(packed, offsets[:-1])
+        wmax = np.maximum.reduceat(packed, offsets[:-1])
+        sid0 = packed[offsets[:-1]]
+        const = (wmin == wmax) & (sid0 != R._OTHER)
+        word_value = np.full(spans.shape[0], L.FULL_WORD_VALUE)
+        votes = np.zeros(R.N_SCRIPTS, dtype=np.float64)
+        np.add.at(votes, sid0[const], word_value[const])
+        adjusted = float(word_value.sum())
+        if not votes.any():
+            # mixed-script words cast no alphabet vote -> early det_mask copy
+            assert (got == det_mask).all(), f"trial {trial}: {text!r}"
+            continue
+        frequent = (votes > 0) & (votes / votes.max() >= L.CLOSE_ALPHABET_RATIO)
+        filtered_mask = det_mask & script_langs[frequent].any(axis=0)
+        counts = reference_counts(codes, spans, filtered_mask)
+        subset = filtered_mask & (counts >= adjusted / 2.0)
+        want = subset if subset.any() else filtered_mask
+        assert (got == want).all(), f"trial {trial}: {text!r}"
