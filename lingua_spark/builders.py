@@ -59,6 +59,7 @@ class LanguageDetectorBuilder:
     minimum_relative_distance: float = 0.0
     low_accuracy: bool = False
     increased_detection_speed: bool = False
+    executor_parallelism: int | None = None
     _preload: bool = field(default=False, repr=False)
 
     # -- factory constructors (LanguageDetectorBuilder.kt:177-283) --------
@@ -143,6 +144,33 @@ class LanguageDetectorBuilder:
     def with_preloaded_language_models(self) -> "LanguageDetectorBuilder":
         self._preload = True
         return self
+
+    def with_executor(
+        self, parallelism: int | None
+    ) -> "LanguageDetectorBuilder":
+        """`withExecutor` analog (api/LanguageDetectorBuilder.kt:150-170).
+
+        The reference accepts a caller-supplied thread pool for its
+        per-language fan-out; on Spark that fan-out is partition
+        parallelism (SURVEY.md §2 X1/X2), so the one meaningful residue is
+        a parallelism hint. The hint flows through ``stable_order`` into
+        ``with_stable_order``'s single keyed repartition; ``None`` (the
+        default, matching the reference's default executor) derives the
+        count from the session's ``defaultParallelism``."""
+        if parallelism is not None and parallelism < 1:
+            raise ValueError("executor parallelism must be >= 1")
+        self.executor_parallelism = parallelism
+        return self
+
+    def stable_order(self, df):
+        """Apply the pipeline's stable turn ordering with this builder's
+        executor-parallelism hint (the U4 surface for engine/pipeline's
+        ``with_stable_order``)."""
+        from .engine.pipeline import with_stable_order
+
+        return with_stable_order(
+            df, compute_partitions=self.executor_parallelism
+        )
 
     # -- terminal builders -------------------------------------------------
     def _models(self):

@@ -131,3 +131,32 @@ def test_low_accuracy_mode_short_text_gate():
     b = LanguageDetectorBuilder.from_all_languages().with_low_accuracy_mode()
     det = b.build()
     assert det.confidence_values("en") == []
+
+
+def test_with_executor_parallelism_hint(spark):
+    """withExecutor analog (api/LanguageDetectorBuilder.kt:150-170): the
+    builder's parallelism hint drives with_stable_order's single keyed
+    repartition; None derives from the session."""
+    import pandas as pd
+
+    from lingua_spark.builders import LanguageDetectorBuilder
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 4,
+            "turn_idx": list(range(4)) * 2,
+            "role": ["user"] * 8,
+            "text": ["hello there"] * 8,
+            "tool": [""] * 8,
+            "ts": pd.to_datetime(["2025-01-01"] * 8),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    b = LanguageDetectorBuilder.from_all_languages().with_executor(5)
+    assert b.stable_order(df).rdd.getNumPartitions() == 5
+    b2 = LanguageDetectorBuilder.from_all_languages().with_executor(None)
+    got = b2.stable_order(df).rdd.getNumPartitions()
+    assert got == spark.sparkContext.defaultParallelism * 2
+
+    with pytest.raises(ValueError):
+        LanguageDetectorBuilder.from_all_languages().with_executor(0)
