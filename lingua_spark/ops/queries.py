@@ -86,22 +86,35 @@ SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
 
 
 def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
-    """MinHash signatures: min over shingles of md5(i || shingle); the
-    lexicographic min over fixed-length hex equals the numeric min."""
+    """MinHash signatures over 8-hex-char lanes sliced from md5 digests.
+
+    Instead of one md5 per (hash index, shingle) — 8 digests per shingle,
+    which profiled as ~90% of the whole LSH query at sf0.1 — each shingle
+    is digested ceil(n_hashes/4) times (salted '~'-prefix for the second
+    digest) and each 32-hex digest is cut into four independent 8-hex
+    lanes. The lexicographic min over fixed-length hex equals the numeric
+    min, so each lane is a valid 32-bit minhash permutation. Identical
+    SQL semantics in both dialects (substr is 1-indexed in both)."""
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", k)
+    n_digests = (n_hashes + 3) // 4
+    digests = ", ".join(
+        f"md5({'s' if d == 0 else repr('~' * d) + ' || s'}) AS m{d}"
+        for d in range(n_digests)
+    )
     if dialect == "spark":
         shingled = (
-            f"SELECT doc_id, explode({sh}) AS s FROM"
-            f" (SELECT doc_id, {c} AS c FROM documents)"
+            f"SELECT doc_id, {digests} FROM (SELECT doc_id, explode({sh})"
+            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents))"
         )
     else:
         shingled = (
-            f"SELECT doc_id, unnest({sh}) AS s FROM"
-            f" (SELECT doc_id, {c} AS c FROM documents)"
+            f"SELECT doc_id, {digests} FROM (SELECT doc_id, unnest({sh})"
+            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents))"
         )
     mins = ", ".join(
-        f"min(md5('{i}' || s)) AS h{i}" for i in range(1, n_hashes + 1)
+        f"min(substr(m{(i - 1) // 4}, {1 + 8 * ((i - 1) % 4)}, 8)) AS h{i}"
+        for i in range(1, n_hashes + 1)
     )
     return f"WITH sh AS ({shingled}) SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
 
