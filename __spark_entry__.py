@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_lsh_topk_query,
         dedup_embedding_neardup_hot_buckets_query,
         dedup_embedding_neardup_query,
+        dedup_minhash_cc,
         detect_language_counts,
         jaccard_pairs_df,
         make_sql_query,
@@ -63,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 100x-scale shape: one shingle explode, cached, same hash joins);
     # value-identical to the SQL form, shares its DuckDB oracle
     out["dedup_jaccard_pairs_df"] = jaccard_pairs_df
+    # union-find over the LSH pair graph -> per-doc cluster rep + keep flag
+    # (iterative label propagation in Spark; recursive-CTE closure oracle)
+    out["dedup_minhash_cc"] = dedup_minhash_cc
     return out
 
 
@@ -81,4 +85,9 @@ def oracle_sql() -> dict[str, str]:
         out[name] = fixture_oracle_sql(name)
     # the DF variant computes the same result as the SQL form
     out["dedup_jaccard_pairs_df"] = out["dedup_jaccard_pairs"]
+    # independent-algorithm oracle: recursive-CTE transitive closure vs
+    # the Spark side's iterative label propagation
+    from lingua_spark.ops.queries import minhash_cc_oracle_sql
+
+    out["dedup_minhash_cc"] = minhash_cc_oracle_sql()
     return out

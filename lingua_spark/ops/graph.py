@@ -1,0 +1,96 @@
+"""Distributed connected components for dedup clustering.
+
+The dedup operators (``dedup_minhash_lsh_pairs``, ``dedup_jaccard_pairs``,
+``dedup_embedding_neardup``) emit candidate-duplicate PAIRS; turning pairs
+into a keep/drop decision needs the union-find step: each connected
+component of the pair graph is one duplicate cluster, and one
+representative per cluster is kept. The reference has no analog (it is a
+language detector); this is the LLM-data-pipeline completion of its dedup
+role (SURVEY.md §6).
+
+Algorithm: iterative min-label propagation with pointer jumping — each
+round every node takes the min label among {itself, its neighbours'
+labels, its label's label}. Pointer jumping halves label-chain depth per
+round, so convergence is O(log diameter) rounds; the LSH star-pair
+reduction (ops/queries.py LSH_BUCKET_CAP) already bounds per-bucket
+diameter at 2, and cross-bucket chains through shared docs stay shallow.
+This is the standard large-star/small-star contraction family
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+expressed as DataFrame joins: every step is a hash join + groupBy-min —
+shuffle-parallel, no driver-side graph state, O(E) work per round.
+
+Each round is ``localCheckpoint``-ed: the iteration output is
+materialized and its lineage truncated, so plans stay constant-size
+instead of growing by two joins per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(src, dst) undirected edge list -> (doc, rep): every node mapped to
+    the minimum node id of its connected component.
+
+    Deterministic (min over ids). Raises RuntimeError if not converged
+    within ``max_iters`` rounds — loud failure instead of a silently
+    wrong clustering (with pointer jumping, 25 rounds covers component
+    diameters up to ~2^25).
+    """
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    und = und.distinct().persist()
+    labels = (
+        und.select(F.col("u").alias("doc"))
+        .distinct()
+        .withColumn("rep", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            und.join(labels, und.v == labels.doc)
+            .groupBy("u")
+            .agg(F.min("rep").alias("nbr_rep"))
+            .select(F.col("u").alias("doc"), "nbr_rep")
+        )
+        new = labels.join(nbr, "doc", "left").select(
+            "doc",
+            F.least(
+                F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
+            ).alias("rep"),
+        )
+        # pointer jumping: also adopt the label of the current label
+        hop = new.select(
+            F.col("doc").alias("rep"), F.col("rep").alias("rep2")
+        )
+        new = (
+            new.join(hop, "rep", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("rep"), F.coalesce("rep2", F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            und.unpersist()
+            return labels
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

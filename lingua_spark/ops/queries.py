@@ -813,6 +813,62 @@ def make_sql_query(name: str):
     return run
 
 
+def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH duplicate CLUSTERS: the union-find step the candidate
+    generators feed. Connected components over the LSH pair graph (min
+    node id per component = cluster representative), then every document
+    labelled (doc_id, cluster_rep, keep) — keep = the one representative
+    per cluster, the actionable 100 TB dedup decision (the star-pair
+    bucket cap upstream exists precisely so components survive intact).
+
+    Spark side: iterative min-label propagation with pointer jumping
+    (ops/graph.py — O(log diameter) shuffle-parallel rounds, no driver
+    graph state). The DuckDB oracle computes the same components via a
+    recursive-CTE transitive closure — an INDEPENDENT algorithm, feasible
+    at gate scale (closure is O(n * component size); the Spark form is
+    the one that scales)."""
+    from .graph import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(SQL_QUERIES["dedup_minhash_lsh_pairs"][0])
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = spark.table("documents").select("doc_id")
+    return (
+        docs.join(
+            labels.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("rep", F.col("doc_id")).alias("cluster_rep"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_rep"))
+    )
+
+
+def minhash_cc_oracle_sql() -> str:
+    """DuckDB oracle for dedup_minhash_cc (see its docstring)."""
+    pairs = _minhash_lsh_pairs("duckdb")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({pairs}) p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.doc, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+labels AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc)
+SELECT d.doc_id,
+       coalesce(l.rep, d.doc_id) AS cluster_rep,
+       coalesce(l.rep, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible queries (full detector / quality pipeline): the driver
 # records a weaker rows-only check for these (no oracle_sql entry).

@@ -531,3 +531,44 @@ def test_extract_features_uses_real_decoders(spark):
         got[1], decode_real(ppm, "image/x-portable-pixmap"), atol=1e-6
     )
     assert np.allclose(got[2], decode_stub(b"\x01\x02" * 64), atol=1e-6)
+
+
+def test_connected_components_chain_star_and_isolated(spark):
+    """Min-label propagation + pointer jumping must label every node of a
+    component with the component's min id: a 6-node chain (worst-case
+    diameter for its size), a star, and a 2-cycle, in one edge list."""
+    from pyspark.sql import Row
+
+    from lingua_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),     # chain 1..6
+          (10, 11), (10, 12), (10, 13),               # star at 10
+          (20, 21), (21, 20)]]                        # duplicate both ways
+    )
+    got = {
+        r["doc"]: r["rep"]
+        for r in connected_components(edges).collect()
+    }
+    want = {n: 1 for n in range(1, 7)}
+    want.update({n: 10 for n in (10, 11, 12, 13)})
+    want.update({20: 20, 21: 20})
+    assert got == want
+
+
+def test_dedup_minhash_cc_keep_flags(spark):
+    """Every cluster keeps exactly its min-id representative; singletons
+    keep themselves; cluster_rep is a member doc (min) of each cluster."""
+    from lingua_spark.ops.queries import dedup_minhash_cc
+
+    rows = dedup_minhash_cc(spark, "/root/testdata/sf0.001").collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    assert len(rows) == 500  # one row per document
+    for rep, members in by_cluster.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert rep == ids[0]  # representative is the min member id
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1 and kept[0]["doc_id"] == rep
