@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # union-find over the LSH pair graph -> per-doc cluster rep + keep flag
     # (iterative label propagation in Spark; recursive-CTE closure oracle)
     out["dedup_minhash_cc"] = dedup_minhash_cc
+    # same union-find over embedding near-dup pairs (BFS fixture twin)
+    from lingua_spark.ops.similarity import dedup_embedding_cc
+
+    out["dedup_embedding_cc"] = dedup_embedding_cc
     return out
 
 

@@ -781,6 +781,7 @@ FIXTURE_ORACLE_QUERIES = (
     "ann_ivf_topk",
     "dedup_embedding_neardup",
     "dedup_embedding_neardup_hot_buckets",
+    "dedup_embedding_cc",
     "detect_language_counts",
     "quality_pipeline_summary",
     "multilang_sections",

@@ -693,3 +693,64 @@ def expected_ann_topk(
     return pd.DataFrame(
         rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
     )
+
+
+def dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components over the
+    near-dup pair graph (same union-find step as ``dedup_minhash_cc``,
+    ops/graph.py) -> every vector labelled (vec_id, cluster_rep, keep),
+    one kept representative (min vec_id) per duplicate cluster. Fixture
+    oracle: an independent pure-Python BFS union-find over the NumPy
+    twin's pairs (``expected_embedding_cc``)."""
+    from pyspark.sql import functions as F
+
+    from .graph import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(spark, emb)
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    return (
+        emb.select("vec_id")
+        .join(labels.withColumnRenamed("doc", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("rep", F.col("vec_id")).alias("cluster_rep"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_rep"))
+    )
+
+
+def expected_embedding_cc(emb: pd.DataFrame) -> pd.DataFrame:
+    """Fixture twin of dedup_embedding_cc: BFS connected components (an
+    algorithm independent of the Spark side's label propagation) over
+    expected_neardup_pairs, min member id as representative."""
+    pairs = expected_neardup_pairs(emb)
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(pairs.vec_a, pairs.vec_b):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    rep: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in rep:
+            continue
+        comp, frontier = [start], [start]
+        seen = {start}
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        comp.append(v)
+                        nxt.append(v)
+            frontier = nxt
+        mn = min(comp)
+        for v in comp:
+            rep[v] = mn
+    vec_ids = [int(v) for v in emb.vec_id]
+    rows = [
+        (v, rep.get(v, v), rep.get(v, v) == v) for v in sorted(vec_ids)
+    ]
+    return pd.DataFrame(
+        rows, columns=["vec_id", "cluster_rep", "keep"]
+    ).astype({"vec_id": "int64", "cluster_rep": "int64", "keep": "bool"})

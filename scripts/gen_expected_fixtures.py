@@ -58,6 +58,13 @@ def gen_neardup() -> pd.DataFrame:
     return expected_neardup_pairs(emb)
 
 
+def gen_embedding_cc() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_embedding_cc
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_embedding_cc(emb)
+
+
 def gen_neardup_hot_buckets() -> pd.DataFrame:
     from lingua_spark.ops.similarity import expected_neardup_hot_buckets
 
@@ -152,6 +159,7 @@ def main() -> None:
         "ann_ivf_topk": gen_ivf,
         "dedup_embedding_neardup": gen_neardup,
         "dedup_embedding_neardup_hot_buckets": gen_neardup_hot_buckets,
+        "dedup_embedding_cc": gen_embedding_cc,
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
         "multilang_sections": lambda: gen_multilang(docs),
