@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.similarity import dedup_embedding_cc
 
     out["dedup_embedding_cc"] = dedup_embedding_cc
+    # quality gate AND dedup-representative: the final selection list
+    from lingua_spark.ops.queries import corpus_select_final
+
+    out["corpus_select_final"] = corpus_select_final
     return out
 
 
@@ -91,7 +95,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_jaccard_pairs_df"] = out["dedup_jaccard_pairs"]
     # independent-algorithm oracle: recursive-CTE transitive closure vs
     # the Spark side's iterative label propagation
-    from lingua_spark.ops.queries import minhash_cc_oracle_sql
+    from lingua_spark.ops.queries import (
+        corpus_select_oracle_sql,
+        minhash_cc_oracle_sql,
+    )
 
     out["dedup_minhash_cc"] = minhash_cc_oracle_sql()
+    out["corpus_select_final"] = corpus_select_oracle_sql()
     return out

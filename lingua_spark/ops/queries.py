@@ -870,6 +870,40 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc
 """
 
 
+def corpus_select_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final training-corpus selection — the composition a 100 TB curation
+    run materializes: a document is selected iff it passes the heuristic
+    quality gate (``quality_keep_sql``) AND it is its duplicate cluster's
+    kept representative (``dedup_minhash_cc``). Both decisions are
+    surfaced per document so downstream audits can attribute every drop."""
+    register_views(spark, sf_dir)
+    quality = spark.sql(SQL_QUERIES["quality_keep_sql"][0]).withColumnRenamed(
+        "keep", "keep_quality"
+    )
+    dedup = dedup_minhash_cc(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_dedup")
+    )
+    return quality.join(dedup, "doc_id").select(
+        "doc_id",
+        "keep_quality",
+        "keep_dedup",
+        (F.col("keep_quality") & F.col("keep_dedup")).alias("selected"),
+    )
+
+
+def corpus_select_oracle_sql() -> str:
+    """DuckDB oracle for corpus_select_final (cc closure + quality gate)."""
+    cc = minhash_cc_oracle_sql()
+    quality = SQL_QUERIES["quality_keep_sql"][1]
+    return f"""
+WITH cc AS (SELECT * FROM ({cc}) c),
+q AS ({quality})
+SELECT q.doc_id, q.keep AS keep_quality, cc.keep AS keep_dedup,
+       q.keep AND cc.keep AS selected
+FROM q JOIN cc ON q.doc_id = cc.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible queries (full detector / quality pipeline): the driver
 # records a weaker rows-only check for these (no oracle_sql entry).
