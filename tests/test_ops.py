@@ -572,3 +572,38 @@ def test_dedup_minhash_cc_keep_flags(spark):
         assert rep == ids[0]  # representative is the min member id
         kept = [m for m in members if m["keep"]]
         assert len(kept) == 1 and kept[0]["doc_id"] == rep
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Randomized 120-node graph vs a pure-Python union-find reference."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from lingua_spark.ops.graph import connected_components
+
+    rng = np.random.default_rng(42)
+    n = 120
+    es = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(160, 2))
+        if a != b
+    }
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in es for v in e}
+    want = {v: find(v) for v in sorted(nodes)}
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in sorted(es)])
+    got = {
+        r["doc"]: r["rep"] for r in connected_components(edges).collect()
+    }
+    assert got == want
