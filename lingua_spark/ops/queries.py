@@ -153,7 +153,7 @@ WITH sig AS ({sig}),
 bands AS ({bands})"""
 
 
-def _minhash_lsh_pairs(dialect: str) -> str:
+def _minhash_lsh_pairs(dialect: str, min_bands: int = 1) -> str:
     """Band-bucket candidate pairs. The two dialects use different physical
     shapes on purpose: Spark inlines CTEs, so a bands self-join would
     re-evaluate the signature CTE on every reference (8x) — instead bucket
@@ -161,7 +161,21 @@ def _minhash_lsh_pairs(dialect: str) -> str:
     pairs within buckets — all-pairs up to LSH_BUCKET_CAP docs, star pairs
     (member, bucket-min) above it. DuckDB materializes multi-referenced
     CTEs, so the plain self-join (with the same cap/star split) is fine
-    there. Results are identical."""
+    there. Results are identical.
+
+    ``min_bands``: how many of the 4 bands a pair must collide in.
+    1 = the candidate-generation operating point (J ≈ 0.5 with 2-row
+    bands) for downstream similarity checking; 2 = the near-dup MERGE
+    operating point (P[≥2 of 4 bands] rises steeply around J ≈ 0.8),
+    used by ``dedup_minhash_cc`` so union-find merges verified-strength
+    edges, not loose candidates."""
+    if min_bands <= 1:
+        final = "SELECT DISTINCT a AS doc_a, b AS doc_b FROM cand"
+    else:
+        final = (
+            "SELECT a AS doc_a, b AS doc_b FROM cand"
+            f" GROUP BY a, b HAVING count(*) >= {min_bands}"
+        )
     if dialect == "spark":
         return f"""{_minhash_bands('spark')},
 buckets AS (
@@ -181,7 +195,7 @@ cand AS (
   LATERAL VIEW explode(ids) eb AS b
   WHERE size(ids) > {LSH_BUCKET_CAP} AND b != ids[0]
 )
-SELECT DISTINCT a AS doc_a, b AS doc_b FROM cand
+{final}
 """
     return f"""{_minhash_bands('duckdb')},
 bsize AS (
@@ -203,7 +217,7 @@ cand AS (
    AND s.m > {LSH_BUCKET_CAP}
   WHERE b.doc_id != s.min_id
 )
-SELECT DISTINCT a AS doc_a, b AS doc_b FROM cand
+{final}
 """
 
 
@@ -822,6 +836,15 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster, the actionable 100 TB dedup decision (the star-pair
     bucket cap upstream exists precisely so components survive intact).
 
+    Edges are pairs colliding in ≥2 of the 4 LSH bands — the MERGE
+    operating point (P[≥2 bands] rises steeply around J ≈ 0.8) — NOT the
+    1-band candidate set (J ≈ 0.5), whose graph is far too dense to
+    union blindly: on the sf0.1 synthetic documents the candidate graph
+    collapses 5,000 docs into 12 components, while ≥2-band edges cluster
+    only near-duplicates. 1-band candidates remain the similarity-check
+    worklist (``dedup_minhash_lsh_pairs``); merging is reserved for
+    verified-strength edges.
+
     Spark side: iterative min-label propagation with pointer jumping
     (ops/graph.py — O(log diameter) shuffle-parallel rounds, no driver
     graph state). The DuckDB oracle computes the same components via a
@@ -831,7 +854,7 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     register_views(spark, sf_dir)
-    pairs = spark.sql(SQL_QUERIES["dedup_minhash_lsh_pairs"][0])
+    pairs = spark.sql(_minhash_lsh_pairs("spark", min_bands=2))
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     docs = spark.table("documents").select("doc_id")
     return (
@@ -848,7 +871,7 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_cc_oracle_sql() -> str:
     """DuckDB oracle for dedup_minhash_cc (see its docstring)."""
-    pairs = _minhash_lsh_pairs("duckdb")
+    pairs = _minhash_lsh_pairs("duckdb", min_bands=2)
     return f"""
 WITH RECURSIVE
 pairs AS (SELECT * FROM ({pairs}) p),
