@@ -893,6 +893,29 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc
 """
 
 
+SQL_QUERIES["dedup_exact_flags"] = (
+    # batch twin of streaming.streaming_exact_dedup (first-seen-wins by
+    # doc_id on the static table): every doc flagged is_dup with its
+    # occurrence index among identical texts
+    """
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+            AS BOOLEAN) AS is_dup,
+       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id)
+            AS BIGINT) AS occurrence
+FROM documents
+""",
+    """
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+            AS BOOLEAN) AS is_dup,
+       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id)
+            AS BIGINT) AS occurrence
+FROM documents
+""",
+)
+
+
 def corpus_select_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final training-corpus selection — the composition a 100 TB curation
     run materializes: a document is selected iff it passes the heuristic

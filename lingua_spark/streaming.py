@@ -176,3 +176,57 @@ def windowed_keep_metrics(
             F.sum(F.col("keep").cast("long")).alias("kept"),
         )
     )
+
+
+def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming exact dedup, first-seen-wins: turns are keyed by the
+    64-bit hash of their text and a stateful operator
+    (``applyInPandasWithState``) keeps a per-hash seen-count across
+    micro-batches, emitting every turn with ``is_dup`` (a copy of a text
+    seen earlier — in this batch or any previous one) and its occurrence
+    index. Deployment shape: the filter in FRONT of the assess UDF, so
+    duplicate turns never pay the detector. State is O(1) per distinct
+    text (one long), partitioned by hash — shuffle-parallel and skew-free.
+    Within a micro-batch, first-seen is defined by (ts, conv_id,
+    turn_idx) order, so results are deterministic.
+
+    Batch twin with a DuckDB oracle: ``dedup_exact_flags`` in
+    ops/queries.py (row_number over text by doc_id on the static table).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = spark.readStream.schema(TRANSCRIPT_DDL).parquet(input_dir)
+    keyed = src.withColumn("text_hash", F.xxhash64("text"))
+
+    out_schema = (
+        "text_hash long, conv_id string, turn_idx int, is_dup boolean,"
+        " occurrence long"
+    )
+    state_schema = "n_seen long"
+
+    def flag(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+            occ = n + 1 + pd.RangeIndex(len(pdf)).to_numpy()
+            n += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "text_hash": pdf["text_hash"].to_numpy(),
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "is_dup": occ > 1,
+                    "occurrence": occ,
+                }
+            )
+        state.update((int(n),))
+
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        flag,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

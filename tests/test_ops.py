@@ -607,3 +607,62 @@ def test_connected_components_random_graph_matches_union_find(spark):
         r["doc"]: r["rep"] for r in connected_components(edges).collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup_flags_and_restart(spark, tmp_path):
+    """First-seen-wins dedup state must hold within a batch AND across a
+    checkpointed restart: duplicates inside batch 1 are flagged, and a
+    batch-2 copy of a batch-1 text is flagged with the continued
+    occurrence index."""
+    import pandas as pd
+
+    from lingua_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    outdir = tmp_path / "out"
+
+    def feed(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).astype({"turn_idx": "int32"})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run_once():
+        out = streaming_exact_dedup(spark, str(src))
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(str(outdir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    t0 = pd.Timestamp("2025-01-01")
+    feed([
+        ("c1", 0, "user", "hello world", "", t0),
+        ("c1", 1, "user", "unique text one", "", t0 + pd.Timedelta(minutes=1)),
+        ("c2", 0, "user", "hello world", "", t0 + pd.Timedelta(minutes=2)),
+    ])
+    run_once()
+    got = (
+        spark.read.parquet(str(outdir)).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    flags = {(r.conv_id, r.turn_idx): (r.is_dup, r.occurrence)
+             for r in got.itertuples()}
+    assert flags[("c1", 0)] == (False, 1)   # first "hello world"
+    assert flags[("c1", 1)] == (False, 1)
+    assert flags[("c2", 0)] == (True, 2)    # within-batch duplicate
+
+    feed([("c3", 0, "user", "hello world", "",
+           t0 + pd.Timedelta(minutes=9))])
+    run_once()
+    got2 = spark.read.parquet(str(outdir)).toPandas()
+    r = got2[got2.conv_id == "c3"].iloc[0]
+    assert bool(r.is_dup) and r.occurrence == 3  # state survived restart
