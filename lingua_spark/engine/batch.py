@@ -39,8 +39,12 @@ _NL = L.N_LANGUAGES
 
 # rows per scoring chunk: bounds the (windows x languages) gathers so the
 # per-chunk temporaries stay cache-resident (512 rows ≈ 25k distinct
-# windows x ~50 candidate columns; measured faster than 2048-row chunks)
-CHUNK_ROWS = 512
+# windows x ~50 candidate columns; measured faster than 2048-row chunks).
+# Env-overridable because the right size depends on co-location: executor
+# workers inherit the env, so a cluster can tune it without a code change.
+import os as _os
+
+CHUNK_ROWS = int(_os.environ.get("LINGUA_SPARK_CHUNK_ROWS", "512"))
 
 
 def _batch_windows(
