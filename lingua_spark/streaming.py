@@ -208,20 +208,27 @@ def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
         import pandas as pd
 
         n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"])
-            occ = n + 1 + pd.RangeIndex(len(pdf)).to_numpy()
-            n += len(pdf)
-            yield pd.DataFrame(
-                {
-                    "text_hash": pdf["text_hash"].to_numpy(),
-                    "conv_id": pdf["conv_id"].to_numpy(),
-                    "turn_idx": pdf["turn_idx"].to_numpy(),
-                    "is_dup": occ > 1,
-                    "occurrence": occ,
-                }
-            )
+        # Spark may deliver one key's batch rows in SEVERAL chunks:
+        # concatenate before sorting, or first-seen order would depend on
+        # chunk boundaries instead of (ts, conv_id, turn_idx).
+        frames = list(pdfs)
+        if not frames:
+            state.update((int(n),))
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+        occ = n + 1 + pd.RangeIndex(len(pdf)).to_numpy()
+        n += len(pdf)
         state.update((int(n),))
+        yield pd.DataFrame(
+            {
+                "text_hash": pdf["text_hash"].to_numpy(),
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "is_dup": occ > 1,
+                "occurrence": occ,
+            }
+        )
 
     return keyed.groupBy("text_hash").applyInPandasWithState(
         flag,
