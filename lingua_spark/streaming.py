@@ -89,13 +89,18 @@ def stateful_conversation_tracker(
     state_schema = "turns long, kept long, streak long"
 
     def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
         turns = kept = streak = 0
         if state.exists:
             turns, kept, streak = state.get
-        for pdf in pdfs:
-            # stable order within the micro-batch
-            pdf = pdf.sort_values("turn_idx")
-            for k in pdf["keep"]:
+        # concatenate the key's chunks BEFORE sorting: one conversation's
+        # batch rows can arrive split across several chunks, and a
+        # per-chunk sort would walk turns in chunk order, not turn order
+        frames = list(pdfs)
+        if frames:
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+            for k in pdf.sort_values("turn_idx")["keep"]:
                 turns += 1
                 if k:
                     kept += 1
@@ -103,7 +108,6 @@ def stateful_conversation_tracker(
                 else:
                     streak += 1
         state.update((turns, kept, streak))
-        import pandas as pd
 
         yield pd.DataFrame(
             {
