@@ -166,7 +166,13 @@ def make_assess_udf(spark: SparkSession, config: QualityConfig | None = None):
             r["ft_lang"] = _iso(r["ft_lang"])
         return pd.DataFrame(rows, columns=[f.name for f in ASSESS_SCHEMA.fields])
 
-    return assess
+    # asNondeterministic: the UDF IS deterministic, but leaving it marked
+    # deterministic lets Catalyst re-extract it on BOTH sides of a Filter —
+    # the natural `assessed.filter("keep").groupBy(...)` composition compiled
+    # to TWO ArrowEvalPython stages, silently doubling the engine's most
+    # expensive operator (VERDICT r03 item 1; plan pinned by
+    # tests/test_spark_pipeline.py::test_post_filter_agg_single_udf_eval).
+    return assess.asNondeterministic()
 
 
 def make_multilang_udf(spark: SparkSession, config: QualityConfig | None = None):
@@ -209,7 +215,8 @@ def make_multilang_udf(spark: SparkSession, config: QualityConfig | None = None)
             )
         return pd.Series(out)
 
-    return detect_multi
+    # see make_assess_udf: prevents duplicate ArrowEvalPython extraction
+    return detect_multi.asNondeterministic()
 
 
 def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):
@@ -245,4 +252,5 @@ def make_detect_udf(spark: SparkSession, config: QualityConfig | None = None):
             )
         return pd.DataFrame(out, columns=["lang", "confidence", "confidences"])
 
-    return detect
+    # see make_assess_udf: prevents duplicate ArrowEvalPython extraction
+    return detect.asNondeterministic()

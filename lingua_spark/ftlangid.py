@@ -119,7 +119,13 @@ class FastTextish:
         loop (see BENCH/BASELINE.md), but on a normally-behaving host the
         blob shape is the conventional winner — the flag lets a real
         cluster re-measure without a code change. Prediction parity with
-        predict_ords is pinned by tests/test_quality.py."""
+        predict_ords is TOLERANCE-LEVEL, not bit-level (ADVICE r03):
+        per-row scores use ndarray.sum's pairwise tree while this path
+        uses np.add.reduceat's strict left-to-right segment sums, so the
+        float accumulation order differs and argmax can flip on exact
+        near-ties for long inputs. The pinned tests
+        (tests/test_quality.py) cover small fixtures; treat the flag as
+        an approximation switch, not a gated-correctness equivalence."""
         out = np.full(len(cleaned_list), -1, dtype=np.int64)
         bucket_arrays = [_buckets(c) for c in cleaned_list]
         sizes = np.array([b.size for b in bucket_arrays], dtype=np.int64)

@@ -19,9 +19,17 @@ This is the standard large-star/small-star contraction family
 expressed as DataFrame joins: every step is a hash join + groupBy-min —
 shuffle-parallel, no driver-side graph state, O(E) work per round.
 
-Each round is ``localCheckpoint``-ed: the iteration output is
-materialized and its lineage truncated, so plans stay constant-size
-instead of growing by two joins per round.
+Each round's label table is checkpointed: materialized with its lineage
+truncated, so plans stay constant-size instead of growing by two joins
+per round. TWO checkpoint backends (VERDICT r03 item 2):
+
+- ``checkpoint_dir=None`` (default): ``localCheckpoint`` — blocks live on
+  executors. Fast, right for local mode and short jobs, but one lost
+  executor invalidates the truncated lineage and fails the job.
+- ``checkpoint_dir="hdfs://..."``: reliable ``df.checkpoint()`` via
+  ``sc.setCheckpointDir`` — blocks live on the fault-tolerant store, so a
+  multi-hour 100 TB clustering run survives executor loss. This is the
+  setting a real cluster should use.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edge list -> (doc, rep): every node mapped to
     the minimum node id of its connected component.
@@ -41,56 +50,71 @@ def connected_components(
     Deterministic (min over ids). Raises RuntimeError if not converged
     within ``max_iters`` rounds — loud failure instead of a silently
     wrong clustering (with pointer jumping, 25 rounds covers component
-    diameters up to ~2^25).
+    diameters up to ~2^25). ``checkpoint_dir``: when set, per-round label
+    tables are reliably checkpointed there (executor-loss-safe; see
+    module docstring); when None, ``localCheckpoint`` is used.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     und = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     und = und.distinct().persist()
-    labels = (
-        und.select(F.col("u").alias("doc"))
-        .distinct()
-        .withColumn("rep", F.col("doc"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iters):
-        nbr = (
-            und.join(labels, und.v == labels.doc)
-            .groupBy("u")
-            .agg(F.min("rep").alias("nbr_rep"))
-            .select(F.col("u").alias("doc"), "nbr_rep")
+    try:
+        labels = ckpt(
+            und.select(F.col("u").alias("doc"))
+            .distinct()
+            .withColumn("rep", F.col("doc"))
         )
-        new = labels.join(nbr, "doc", "left").select(
-            "doc",
-            F.least(
-                F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
-            ).alias("rep"),
-        )
-        # pointer jumping: also adopt the label of the current label
-        hop = new.select(
-            F.col("doc").alias("rep"), F.col("rep").alias("rep2")
-        )
-        new = (
-            new.join(hop, "rep", "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("rep"), F.coalesce("rep2", F.col("rep"))
-                ).alias("rep"),
+        for _ in range(max_iters):
+            nbr = (
+                und.join(labels, und.v == labels.doc)
+                .groupBy("u")
+                .agg(F.min("rep").alias("nbr_rep"))
+                .select(F.col("u").alias("doc"), "nbr_rep")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            und.unpersist()
-            return labels
-    und.unpersist()
+            # checkpoint BEFORE the pointer-jump self-join: `mid` is both
+            # the base and the lookup side of the jump, so an
+            # un-checkpointed plan would evaluate the neighbor-join +
+            # groupBy subtree twice per round (ADVICE r03)
+            mid = ckpt(
+                labels.join(nbr, "doc", "left").select(
+                    "doc",
+                    F.least(
+                        F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
+                    ).alias("rep"),
+                )
+            )
+            # pointer jumping: also adopt the label of the current label
+            hop = mid.select(
+                F.col("doc").alias("rep"), F.col("rep").alias("rep2")
+            )
+            new = ckpt(
+                mid.join(hop, "rep", "left").select(
+                    "doc",
+                    F.least(
+                        F.col("rep"), F.coalesce("rep2", F.col("rep"))
+                    ).alias("rep"),
+                )
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.rep") != F.col("o.rep"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels
+    finally:
+        und.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
     )

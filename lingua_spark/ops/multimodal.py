@@ -3,11 +3,12 @@
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages so payload bytes never round-trip through Python
-row objects. The actual codecs are STUBBED (this container has no
-image/audio libraries): ``decode_stub`` produces a deterministic fake
-feature vector from the payload hash, and the real decoder slot raises
-NotImplementedError. The Spark-side plumbing — schema, batching,
-partitioning — is real and tested.
+row objects. Three pure-stdlib formats decode FOR REAL — WAV PCM (audio),
+binary PPM (image), uncompressed Y4M (video) — one per modality; formats
+that need codec libraries absent from this container fall back to
+``decode_stub`` (a deterministic fake feature from the payload hash), and
+``decode_real`` on such a mime raises NotImplementedError. The Spark-side
+plumbing — schema, batching, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     StringType,
@@ -48,6 +50,10 @@ FEATURES_SCHEMA = StructType(
     + [
         StructField("feature", ArrayType(FloatType())),
         StructField("payload_sha", StringType()),
+        # False iff a REAL decode was attempted and failed (corrupt /
+        # truncated payload) and the row fell back to the stub feature —
+        # a single bad media row must degrade, not kill the stage
+        StructField("decode_ok", BooleanType()),
     ]
 )
 
@@ -118,7 +124,16 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     if len(toks) < 4 or toks[0] != b"P6":
         raise NotImplementedError("only binary PPM (P6) is decoded")
     w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        # P6 with maxval > 255 stores 2-byte samples; reading them as
+        # single bytes would be silently wrong (ADVICE r03)
+        raise NotImplementedError("only 8-bit PPM (maxval <= 255) is decoded")
     raster = payload[off : off + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(
+            f"truncated PPM raster: expected {w * h * 3} bytes,"
+            f" got {len(raster)}"
+        )
     img = (
         np.frombuffer(raster, dtype=np.uint8)
         .astype(np.float64)
@@ -136,11 +151,107 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return _pad16(feats)
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _y4m_header(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a YUV4MPEG2 stream header -> (width, height, fps_num,
+    fps_den, frame_size_bytes, offset of first FRAME marker). Supported
+    colorspaces: C420* (w*h*3/2), C422 (w*h*2), C444 (w*h*3), Cmono
+    (w*h) — all uncompressed planar layouts the pure-stdlib reader can
+    slice without a codec."""
+    nl = data.find(b"\n")
+    if not data.startswith(_Y4M_MAGIC) or nl < 0:
+        raise NotImplementedError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fn, fd = 30, 1
+    cs = b"420"
+    for tok in data[len(_Y4M_MAGIC) : nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fn, fd = (int(x) for x in tok[1:].split(b":"))
+        elif tok.startswith(b"C"):
+            cs = tok[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith(b"420"):
+        fsize = w * h * 3 // 2
+    elif cs.startswith(b"422"):
+        fsize = w * h * 2
+    elif cs.startswith(b"444"):
+        fsize = w * h * 3
+    elif cs.startswith(b"mono"):
+        fsize = w * h
+    else:
+        raise NotImplementedError(f"unsupported Y4M colorspace {cs!r}")
+    return w, h, fn, fd, fsize, nl + 1
+
+
+def iter_y4m_frames(payload: bytes) -> tuple[int, int, float, list[bytes]]:
+    """All frames of an uncompressed Y4M stream -> (width, height, fps,
+    [raw planar frame bytes]). Each frame is introduced by a
+    ``FRAME[params]\\n`` marker followed by exactly frame_size bytes."""
+    w, h, fn, fd, fsize, off = _y4m_header(payload)
+    frames: list[bytes] = []
+    while off < len(payload):
+        if not payload[off:].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at offset {off}")
+        nl = payload.find(b"\n", off)
+        if nl < 0:
+            raise ValueError("unterminated FRAME header")
+        start = nl + 1
+        frame = payload[start : start + fsize]
+        if len(frame) != fsize:
+            raise ValueError(
+                f"truncated Y4M frame: expected {fsize} bytes,"
+                f" got {len(frame)}"
+            )
+        frames.append(frame)
+        off = start + fsize
+    return w, h, fn / fd, frames
+
+
+def _decode_y4m(payload: bytes) -> np.ndarray:
+    """Uncompressed Y4M video -> 16 floats: [w/1000, h/1000, fps,
+    n_frames, mean/std of luma over all frames, 8-bin luma histogram,
+    inter-frame mean-luma delta, tail zero]. Closes the last multimodal
+    stub (VERDICT r03 item 9) with a pure-stdlib format, like WAV/PPM."""
+    w, h, fps, frames = iter_y4m_frames(payload)
+    if not frames:
+        return _pad16([w / 1000.0, h / 1000.0, fps, 0.0])
+    # luma plane is the first w*h bytes of every supported layout
+    luma = np.stack(
+        [
+            np.frombuffer(f[: w * h], dtype=np.uint8).astype(np.float64)
+            / 255.0
+            for f in frames
+        ]
+    )
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    per_frame = luma.mean(axis=1)
+    motion = float(np.abs(np.diff(per_frame)).mean()) if len(frames) > 1 else 0.0
+    feats = [
+        w / 1000.0,
+        h / 1000.0,
+        fps,
+        float(len(frames)),
+        float(luma.mean()),
+        float(luma.std()),
+    ]
+    feats += [float(c) / luma.size for c in hist]
+    feats.append(motion)
+    return _pad16(feats)
+
+
 # mime -> real decoder; anything else is a genuinely-absent codec
 REAL_DECODERS = {
     "audio/wav": _decode_wav,
     "audio/x-wav": _decode_wav,
     "image/x-portable-pixmap": _decode_ppm,
+    "video/x-yuv4mpeg": _decode_y4m,
 }
 
 
@@ -173,13 +284,23 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, oks = [], []
             for p, mime in zip(pdf["payload"], pdf["mime"]):
                 p = bytes(p) if p is not None else b""
                 if mime in REAL_DECODERS:
-                    feats.append(decode_real(p, mime).tolist())
+                    # one corrupt/truncated payload must not fail the
+                    # whole Spark stage (ADVICE r03): fall back to the
+                    # stub feature and flag the row decode_ok=False so
+                    # downstream can filter/audit failed decodes
+                    try:
+                        feats.append(decode_real(p, mime).tolist())
+                        oks.append(True)
+                    except Exception:  # noqa: BLE001 — corrupt media row
+                        feats.append(decode_stub(p).tolist())
+                        oks.append(False)
                 else:
                     feats.append(decode_stub(p).tolist())
+                    oks.append(True)
             shas = [
                 hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
                 for p in pdf["payload"]
@@ -190,6 +311,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "feature": feats,
                     "payload_sha": shas,
+                    "decode_ok": oks,
                 }
             )
 
@@ -207,12 +329,17 @@ FRAMES_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling for video rows: one output row per sampled frame,
-    uniformly spaced across duration_ms. Real shape: a mapInPandas stage
-    that EXPANDS rows (1 video -> n frames) keeping payload bytes
-    columnar; the frame decoder is stubbed (no codecs in this container)
-    as a deterministic byte slice of the payload, with the real decode
-    slot being ``decode_real``."""
+    """Frame sampling for video rows: one output row per sampled frame.
+    A mapInPandas stage that EXPANDS rows (1 video -> n frames) keeping
+    payload bytes columnar.
+
+    Y4M payloads (magic ``YUV4MPEG2 ``) are REALLY decoded (pure stdlib,
+    VERDICT r03 item 9): frames are sampled uniformly over the actual
+    frame sequence, ``frame_ts_ms`` comes from the stream's fps, and
+    ``frame_payload`` is the raw planar YUV bytes of that frame (feed it
+    to ``iter_y4m_frames``/NumPy downstream). Other video formats need
+    codecs absent from this container and keep the deterministic
+    byte-slice stub spaced across duration_ms."""
     from ..engine.udfs import ship_package
 
     ship_package(df.sparkSession)
@@ -223,6 +350,13 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 "media_id": [], "frame_idx": [], "frame_ts_ms": [],
                 "frame_payload": [],
             }
+
+            def emit(mid, k, ts_ms, frame):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(k)
+                out["frame_ts_ms"].append(ts_ms)
+                out["frame_payload"].append(frame)
+
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"],
                 pdf["duration_ms"],
@@ -231,16 +365,22 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     continue
                 p = bytes(payload) if payload is not None else b""
                 dur = int(dur) if dur is not None else 0
+                if p.startswith(_Y4M_MAGIC):
+                    _, _, fps, frames = iter_y4m_frames(p)
+                    if not frames:
+                        continue
+                    for k in range(n_frames):
+                        idx = k * len(frames) // n_frames
+                        emit(
+                            mid, k, int(idx * 1000.0 / fps), frames[idx]
+                        )
+                    continue
                 for k in range(n_frames):
                     # stub "decode": deterministic rotating byte slice
                     start = (k * max(1, len(p) // n_frames)) % max(len(p), 1)
                     frame = p[start : start + 32] if p else b""
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(k)
-                    out["frame_ts_ms"].append(
-                        int(k * dur / n_frames) if n_frames else 0
-                    )
-                    out["frame_payload"].append(frame)
+                    emit(mid, k, int(k * dur / n_frames) if n_frames else 0,
+                         frame)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
@@ -272,6 +412,22 @@ def synth_ppm(w: int = 32, h: int = 16) -> bytes:
     img[:, :, 1] = 64
     img[:, :, 2] = 192
     return b"P6\n# synth\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def synth_y4m(
+    w: int = 16, h: int = 8, n_frames: int = 5, fps: int = 25
+) -> bytes:
+    """Deterministic uncompressed Y4M (C420): frame k has constant luma
+    ``20*(k+1)``, U=128, V=64 — known per-frame means for value-asserted
+    decode tests."""
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    frames = []
+    for k in range(n_frames):
+        y = np.full(w * h, 20 * (k + 1), dtype=np.uint8)
+        u = np.full((w // 2) * (h // 2), 128, dtype=np.uint8)
+        v = np.full((w // 2) * (h // 2), 64, dtype=np.uint8)
+        frames.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    return head + b"".join(frames)
 
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -168,13 +168,25 @@ def _minhash_lsh_pairs(dialect: str, min_bands: int = 1) -> str:
     bands) for downstream similarity checking; 2 = the near-dup MERGE
     operating point (P[≥2 of 4 bands] rises steeply around J ≈ 0.8),
     used by ``dedup_minhash_cc`` so union-find merges verified-strength
-    edges, not loose candidates."""
+    edges, not loose candidates.
+
+    STAR-PAIR EXEMPTION from ``min_bands`` (ADVICE r03): inside an
+    over-cap bucket only (bucket-min, member) star edges exist, so
+    member-member pairs can never accumulate ≥2 band collisions — a
+    plain ``HAVING count(*) >= 2`` would drop star edges hot in a single
+    band and fragment exactly the clusters the star reduction exists to
+    keep connected. Star edges therefore pass at count >= 1: an over-cap
+    bucket means ≥65 docs share a band hash (boilerplate/viral cluster),
+    which is itself strong merge evidence; the tradeoff — star edges
+    merge at 1-band strength (J ≈ 0.5) instead of 2-band (J ≈ 0.8) — is
+    confined to capped buckets and is surfaced by the hot-bucket audit
+    query."""
     if min_bands <= 1:
         final = "SELECT DISTINCT a AS doc_a, b AS doc_b FROM cand"
     else:
         final = (
             "SELECT a AS doc_a, b AS doc_b FROM cand"
-            f" GROUP BY a, b HAVING count(*) >= {min_bands}"
+            f" GROUP BY a, b HAVING count(*) >= {min_bands} OR max(star) = 1"
         )
     if dialect == "spark":
         return f"""{_minhash_bands('spark')},
@@ -184,16 +196,20 @@ buckets AS (
   HAVING size(collect_list(doc_id)) > 1
 ),
 cand AS (
-  SELECT a, b
+  -- ONE pass over buckets: Spark inlines multi-referenced CTEs, so the
+  -- previous two-branch UNION ALL re-evaluated the entire signature
+  -- subtree (shingle explode + 2 md5/shingle + groupBy) TWICE — the
+  -- conditional explode keeps under-cap all-pairs and over-cap star
+  -- pairs in a single evaluation (plan-pinned: one parquet scan,
+  -- tests/test_ops.py::test_minhash_pairs_single_signature_subtree)
+  SELECT a, b,
+         CASE WHEN size(ids) > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END AS star
   FROM buckets
-  LATERAL VIEW explode(ids) ea AS a
+  LATERAL VIEW explode(CASE WHEN size(ids) <= {LSH_BUCKET_CAP} THEN ids
+                            ELSE array(ids[0]) END) ea AS a
   LATERAL VIEW explode(ids) eb AS b
-  WHERE size(ids) <= {LSH_BUCKET_CAP} AND a < b
-  UNION ALL
-  SELECT ids[0] AS a, b
-  FROM buckets
-  LATERAL VIEW explode(ids) eb AS b
-  WHERE size(ids) > {LSH_BUCKET_CAP} AND b != ids[0]
+  WHERE (size(ids) <= {LSH_BUCKET_CAP} AND a < b)
+     OR (size(ids) > {LSH_BUCKET_CAP} AND b != ids[0])
 )
 {final}
 """
@@ -204,14 +220,14 @@ bsize AS (
   HAVING count(*) > 1
 ),
 cand AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
+  SELECT a.doc_id AS a, b.doc_id AS b, 0 AS star
   FROM bands a
   JOIN bsize s ON a.band = s.band AND a.bkey = s.bkey
    AND s.m <= {LSH_BUCKET_CAP}
   JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   UNION ALL
-  SELECT s.min_id AS a, b.doc_id AS b
+  SELECT s.min_id AS a, b.doc_id AS b, 1 AS star
   FROM bands b
   JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
    AND s.m > {LSH_BUCKET_CAP}
@@ -377,7 +393,9 @@ FROM a LEFT JOIN streak s ON a.conv_id = s.conv_id
 """
 
 
-def jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_pairs_df(
+    spark: SparkSession, sf_dir: str, release_cache: bool = True
+) -> DataFrame:
     """Persisted-shingle Jaccard candidate pairs — the 100x-scale variant
     of ``dedup_jaccard_pairs`` (VERDICT r02 item 4).
 
@@ -389,7 +407,17 @@ def jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     of recomputing) and runs the same hash joins; output is
     value-identical to the SQL form and shares its DuckDB oracle. The
     physical plan has exactly one shingle explode (asserted by
-    tests/test_ops.py::test_jaccard_df_single_explode)."""
+    tests/test_ops.py::test_jaccard_df_single_explode).
+
+    Cache hygiene (VERDICT r03 item 8): with ``release_cache=True`` (the
+    default) the result is eagerly materialized (localCheckpoint) and the
+    shingle cache is released before returning — repeated calls leave no
+    session-lifetime DataFrame cache behind (result blocks are freed by
+    the ContextCleaner once the returned DataFrame is unreferenced).
+    ``release_cache=False`` returns the LAZY plan with the shingle cache
+    live — the shape for callers composing further (and for plan
+    assertions); the caller then owns unpersisting via the returned
+    plan's shingle relation (or ``spark.catalog.clearCache()``)."""
     from pyspark import StorageLevel
 
     register_views(spark, sf_dir)
@@ -425,7 +453,7 @@ def jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
     )
-    return (
+    out = (
         pairs.join(sa, on="doc_a")
         .join(sb, on="doc_b")
         .select(
@@ -439,6 +467,12 @@ def jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_lb"),
         )
     )
+    if not release_cache:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist(blocking=False)
 
 
 def _cosine_topk(dialect: str, n_query: int = 8, topk: int = 3) -> str:
@@ -797,6 +831,7 @@ FIXTURE_ORACLE_QUERIES = (
     "dedup_embedding_neardup_hot_buckets",
     "dedup_embedding_cc",
     "detect_language_counts",
+    "detect_language_per_doc",
     "quality_pipeline_summary",
     "multilang_sections",
 )
@@ -828,7 +863,9 @@ def make_sql_query(name: str):
     return run
 
 
-def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_cc(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """MinHash-LSH duplicate CLUSTERS: the union-find step the candidate
     generators feed. Connected components over the LSH pair graph (min
     node id per component = cluster representative), then every document
@@ -843,19 +880,28 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses 5,000 docs into 12 components, while ≥2-band edges cluster
     only near-duplicates. 1-band candidates remain the similarity-check
     worklist (``dedup_minhash_lsh_pairs``); merging is reserved for
-    verified-strength edges.
+    verified-strength edges — except star edges from over-cap buckets,
+    which pass at 1-band strength so capped boilerplate clusters cannot
+    fragment (see the exemption note in ``_minhash_lsh_pairs``).
 
     Spark side: iterative min-label propagation with pointer jumping
     (ops/graph.py — O(log diameter) shuffle-parallel rounds, no driver
     graph state). The DuckDB oracle computes the same components via a
     recursive-CTE transitive closure — an INDEPENDENT algorithm, feasible
     at gate scale (closure is O(n * component size); the Spark form is
-    the one that scales)."""
+    the one that scales).
+
+    ``checkpoint_dir``: forwarded to ``connected_components`` — set it to
+    a fault-tolerant path on a real cluster so per-round label tables
+    survive executor loss (VERDICT r03 item 2); None keeps the fast
+    localCheckpoint default for local mode."""
     from .graph import connected_components
 
     register_views(spark, sf_dir)
     pairs = spark.sql(_minhash_lsh_pairs("spark", min_bands=2))
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", checkpoint_dir=checkpoint_dir
+    )
     docs = spark.table("documents").select("doc_id")
     return (
         docs.join(
@@ -896,20 +942,28 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc
 SQL_QUERIES["dedup_exact_flags"] = (
     # batch twin of streaming.streaming_exact_dedup (first-seen-wins by
     # doc_id on the static table): every doc flagged is_dup with its
-    # occurrence index among identical texts
+    # occurrence index among identical texts. The window partitions by a
+    # 64-BIT HASH of the text, not the text itself (VERDICT r03 item 5):
+    # the Exchange then ships an 8-byte shuffle key instead of full
+    # documents — same keying as the streaming twin's state store
+    # (streaming.py xxhash64). Equality classes are identical modulo
+    # 64-bit hash collisions (~n^2/2^65 — none at any realistic corpus;
+    # the streaming twin already accepts the same).
     """
 SELECT doc_id,
-       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+       CAST(row_number() OVER (PARTITION BY xxhash64(text)
+                               ORDER BY doc_id) > 1
             AS BOOLEAN) AS is_dup,
-       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id)
+       CAST(row_number() OVER (PARTITION BY xxhash64(text)
+                               ORDER BY doc_id)
             AS BIGINT) AS occurrence
 FROM documents
 """,
     """
 SELECT doc_id,
-       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+       CAST(row_number() OVER (PARTITION BY hash(text) ORDER BY doc_id) > 1
             AS BOOLEAN) AS is_dup,
-       CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id)
+       CAST(row_number() OVER (PARTITION BY hash(text) ORDER BY doc_id)
             AS BIGINT) AS occurrence
 FROM documents
 """,
@@ -980,6 +1034,23 @@ def detect_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("d", detect(F.col("text")))
         .groupBy(F.col("d.lang").alias("detected_lang"))
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def detect_language_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lingua-core detection, graded PER DOCUMENT (VERDICT r03 item
+    4): (doc_id, detected_lang) for every row of the documents table.
+    Unlike ``detect_language_counts`` (which collapses to one row per
+    language, so the hash gate only sees count shifts), this fixture
+    compares the detector's decision on each individual document against
+    the pure-Python dict oracle — a 500-row per-doc correctness row at
+    the driver's gate scale."""
+    from ..engine.udfs import make_detect_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    detect = make_detect_udf(spark)
+    return docs.select(
+        "doc_id", detect(F.col("text")).getField("lang").alias("detected_lang")
     )
 
 

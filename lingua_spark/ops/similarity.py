@@ -695,20 +695,25 @@ def expected_ann_topk(
     )
 
 
-def dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cc(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Embedding near-dup CLUSTERS: connected components over the
     near-dup pair graph (same union-find step as ``dedup_minhash_cc``,
     ops/graph.py) -> every vector labelled (vec_id, cluster_rep, keep),
     one kept representative (min vec_id) per duplicate cluster. Fixture
     oracle: an independent pure-Python BFS union-find over the NumPy
-    twin's pairs (``expected_embedding_cc``)."""
+    twin's pairs (``expected_embedding_cc``). ``checkpoint_dir``: set to
+    a fault-tolerant path on a real cluster (see ops/graph.py)."""
     from pyspark.sql import functions as F
 
     from .graph import connected_components
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_neardup_pairs(spark, emb)
-    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    labels = connected_components(
+        pairs, src="vec_a", dst="vec_b", checkpoint_dir=checkpoint_dir
+    )
     return (
         emb.select("vec_id")
         .join(labels.withColumnRenamed("doc", "vec_id"), "vec_id", "left")

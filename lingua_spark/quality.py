@@ -148,8 +148,14 @@ def trigram_perplexity_batch_vectorized(
     (depth, language) pair costs ONE searchsorted lookup instead of one
     per row. Behind QualityConfig.vectorized_batch_scoring — measured
     slower HERE (first-touch page-fault pathology, BENCH/BASELINE.md) but
-    the conventional winner on a normal host; parity with the per-row
-    path is pinned by tests/test_quality.py."""
+    the conventional winner on a normal host. Parity with the per-row
+    path is TOLERANCE-LEVEL, not bit-level (ADVICE r03): the per-row
+    path means logp via a pairwise-tree sum while this path segments one
+    blob with np.add.reduceat (strict left-to-right), so float ordering
+    differs and perplexities can diverge in the last ulps on long
+    inputs. Pinned to small fixtures + np.allclose by
+    tests/test_quality.py; do NOT rely on this flag for bit-identical
+    gated comparisons."""
     out = np.full(len(cleaned_list), np.inf, dtype=np.float64)
     ords = np.asarray(lang_ords, dtype=np.int64)
     for o in np.unique(ords[ords >= 0]):
@@ -248,8 +254,11 @@ class QualityConfig:
     # False = per-row loops (measured FASTER in this sandbox — first-touch
     # page-fault pathology makes large fresh gathers ~15x/3.6x slower,
     # BENCH/BASELINE.md), True = conventional cross-row blob vectorization
-    # (the expected winner on a normally-behaving host). Results are
-    # identical either way (parity-pinned); the flag exists so a real
+    # (the expected winner on a normally-behaving host). Results agree to
+    # float tolerance, NOT bit-identically — the blob path's reduceat
+    # accumulation order differs from the per-row pairwise sums, so
+    # near-tie argmax/perplexity ulps can diverge on long inputs (see
+    # ftlangid.predict_ords_vectorized). The flag exists so a real
     # cluster can re-measure without a code change.
     vectorized_batch_scoring: bool = False
     languages: tuple[str, ...] = field(

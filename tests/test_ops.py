@@ -214,7 +214,8 @@ def test_jaccard_df_matches_sql_and_single_explode(spark):
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
-    df = jaccard_pairs_df(spark, sfd)
+    # release_cache=False: the lazy composition shape, for plan assertion
+    df = jaccard_pairs_df(spark, sfd, release_cache=False)
     got = df.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert len(got) > 0
     assert got.equals(sql_res.astype(got.dtypes.to_dict()))
@@ -226,6 +227,16 @@ def test_jaccard_df_matches_sql_and_single_explode(spark):
     # an inlined re-evaluation would surface as a FileScan+Generate chain
     # NOT wrapped in an InMemoryRelation)
     assert plan.count("InMemoryTableScan") >= 3, plan
+    spark.catalog.clearCache()  # release the lazy-mode shingle cache
+
+    # default (release_cache=True): value-identical AND no DataFrame
+    # cache left registered after the call (VERDICT r03 item 8)
+    df2 = jaccard_pairs_df(spark, sfd)
+    got2 = df2.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert got2.equals(got)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "jaccard_pairs_df leaked a DataFrame cache"
+    )
 
 
 def test_xxh64_long_matches_spark(spark):
@@ -533,6 +544,94 @@ def test_extract_features_uses_real_decoders(spark):
     assert np.allclose(got[2], decode_stub(b"\x01\x02" * 64), atol=1e-6)
 
 
+def test_y4m_decoder_values():
+    """Real Y4M video decode (VERDICT r03 item 9) with VALUE assertions:
+    synth frames have constant luma 20*(k+1)/255, so decoded mean/std/
+    motion are known in closed form."""
+    from lingua_spark.ops.multimodal import decode_real, synth_y4m
+
+    f = decode_real(synth_y4m(w=16, h=8, n_frames=5, fps=25),
+                    "video/x-yuv4mpeg")
+    means = np.array([20 * (k + 1) for k in range(5)]) / 255.0
+    assert f.shape == (16,)
+    assert f[0] == pytest.approx(0.016)   # width/1000
+    assert f[1] == pytest.approx(0.008)   # height/1000
+    assert f[2] == pytest.approx(25.0)    # fps
+    assert f[3] == pytest.approx(5.0)     # n_frames
+    assert f[4] == pytest.approx(means.mean(), abs=1e-6)
+    assert f[5] == pytest.approx(means.std(), abs=1e-6)
+    assert np.sum(f[6:14]) == pytest.approx(1.0)  # luma histogram mass
+    assert f[14] == pytest.approx(20 / 255.0, abs=1e-6)  # inter-frame delta
+
+
+def test_sample_frames_real_y4m(spark):
+    """sample_frames on a Y4M payload returns REAL raw frames: payload
+    bytes round-trip (constant luma plane per frame), timestamps follow
+    the stream fps, and sampling is uniform over the frame sequence."""
+    from pyspark.sql import Row
+
+    from lingua_spark.ops.multimodal import sample_frames, synth_y4m
+
+    w, h, nf = 16, 8, 8
+    y4m = synth_y4m(w=w, h=h, n_frames=nf, fps=25)
+    df = spark.createDataFrame(
+        [Row(media_id=0, kind="video", payload=bytearray(y4m),
+             mime="video/x-yuv4mpeg", width=w, height=h,
+             duration_ms=nf * 40)]
+    )
+    frames = sample_frames(df, n_frames=4).toPandas().sort_values("frame_idx")
+    assert len(frames) == 4
+    # uniform sampling: k*8//4 -> source frames 0,2,4,6; ts = idx*1000/25
+    assert frames.frame_ts_ms.tolist() == [0, 80, 160, 240]
+    for k, payload in zip(frames.frame_idx, frames.frame_payload):
+        luma = np.frombuffer(bytes(payload)[: w * h], dtype=np.uint8)
+        assert (luma == 20 * (2 * k + 1)).all()  # source frame 2k
+
+
+def test_extract_features_decode_fallback(spark):
+    """ADVICE r03: one corrupt media payload must not kill the stage —
+    the row falls back to the stub feature with decode_ok=False while
+    good rows still decode for real (decode_ok=True)."""
+    import pandas as pd
+
+    from lingua_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_real,
+        decode_stub,
+        extract_features,
+        synth_wav,
+    )
+
+    wav = synth_wav()
+    corrupt = wav[:30]  # truncated header -> wave.Error inside the UDF
+    df = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(wav), "audio/wav", 0, 0, 500),
+            (1, "audio", bytearray(corrupt), "audio/wav", 0, 0, 500),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    got = extract_features(df).toPandas().set_index("media_id")
+    assert bool(got.loc[0, "decode_ok"]) is True
+    assert bool(got.loc[1, "decode_ok"]) is False
+    assert np.allclose(got.loc[0, "feature"], decode_real(wav, "audio/wav"))
+    assert np.allclose(got.loc[1, "feature"], decode_stub(corrupt))
+
+
+def test_ppm_guards():
+    """ADVICE r03: 16-bit PPM (maxval > 255) raises NotImplementedError
+    instead of silently decoding garbage; a truncated raster raises a
+    clear ValueError, not an opaque reshape error."""
+    from lingua_spark.ops.multimodal import decode_real, synth_ppm
+
+    ppm16 = b"P6\n4 4\n65535\n" + b"\x00" * (4 * 4 * 3 * 2)
+    with pytest.raises(NotImplementedError):
+        decode_real(ppm16, "image/x-portable-pixmap")
+    truncated = synth_ppm(w=8, h=8)[:-5]
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_real(truncated, "image/x-portable-pixmap")
+
+
 def test_connected_components_chain_star_and_isolated(spark):
     """Min-label propagation + pointer jumping must label every node of a
     component with the component's min id: a 6-node chain (worst-case
@@ -557,6 +656,82 @@ def test_connected_components_chain_star_and_isolated(spark):
     assert got == want
 
 
+def test_minhash_pairs_single_signature_subtree(spark):
+    """Plan gate (VERDICT r03 item 7): the LSH pairs query must evaluate
+    the signature subtree exactly ONCE. Spark inlines multi-referenced
+    CTEs, so any shape referencing `buckets` twice re-runs the whole
+    shingle-explode + md5 + groupBy chain — that regression surfaces as
+    a second parquet scan of documents."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql(SQL_QUERIES["dedup_minhash_lsh_pairs"][0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_exact_flags_shuffles_on_hash_key(spark):
+    """Plan gate (VERDICT r03 item 5): dedup_exact_flags must key its
+    window Exchange on the 8-byte xxhash64 of the text, never on the raw
+    document text."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql(SQL_QUERIES["dedup_exact_flags"][0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64(text" in plan, plan
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert keys and all(k.startswith("_w0") for k in keys), plan
+
+
+def test_minhash_star_pairs_exempt_from_min_bands():
+    """ADVICE r03: inside an over-cap bucket only star edges exist, so
+    they cannot accumulate >= 2 band collisions; the merge query must
+    exempt them from min_bands or capped clusters fragment. Pins (a) the
+    exemption clause in BOTH dialects and (b) the behavior: 120 near-
+    identical docs (over LSH_BUCKET_CAP, star-reduced in every band)
+    stay ONE connected component under the min_bands=2 merge edges."""
+    import duckdb
+
+    from lingua_spark.ops.queries import LSH_BUCKET_CAP, _minhash_lsh_pairs
+
+    for dialect in ("spark", "duckdb"):
+        sql = _minhash_lsh_pairs(dialect, min_bands=2)
+        assert "max(star) = 1" in sql, dialect
+        assert "OR max(star)" not in _minhash_lsh_pairs(dialect, min_bands=1)
+
+    import pandas as pd
+
+    common = (
+        "the quick brown fox jumps over the lazy dog pack my box "
+        "with five dozen liquor jugs " * 3
+    )
+    n = LSH_BUCKET_CAP + 56
+    docs = pd.DataFrame(
+        {"doc_id": range(n), "text": [common + f"tail{i:03d}" for i in range(n)]}
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    pairs = con.execute(_minhash_lsh_pairs("duckdb", min_bands=2)).df()
+    # star reduction: O(n) edges, not O(n^2)
+    assert len(pairs) == n - 1
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert len({find(i) for i in range(n)}) == 1
+
+
 def test_dedup_minhash_cc_keep_flags(spark):
     """Every cluster keeps exactly its min-id representative; singletons
     keep themselves; cluster_rep is a member doc (min) of each cluster."""
@@ -572,6 +747,32 @@ def test_dedup_minhash_cc_keep_flags(spark):
         assert rep == ids[0]  # representative is the min member id
         kept = [m for m in members if m["keep"]]
         assert len(kept) == 1 and kept[0]["doc_id"] == rep
+
+
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """VERDICT r03 item 2: with ``checkpoint_dir`` set, per-round label
+    tables are reliably checkpointed (executor-loss-safe on a real
+    cluster) and the labels are identical to the localCheckpoint default;
+    checkpoint files actually land in the directory."""
+    from pyspark.sql import Row
+
+    from lingua_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+          (10, 11), (10, 12), (10, 13), (20, 21)]]
+    )
+    local = {r["doc"]: r["rep"] for r in connected_components(edges).collect()}
+    ckdir = tmp_path / "cc-checkpoints"
+    reliable = {
+        r["doc"]: r["rep"]
+        for r in connected_components(
+            edges, checkpoint_dir=str(ckdir)
+        ).collect()
+    }
+    assert reliable == local
+    assert any(ckdir.rglob("*")), "no checkpoint files written"
 
 
 def test_connected_components_random_graph_matches_union_find(spark):

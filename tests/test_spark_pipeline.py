@@ -144,6 +144,51 @@ def test_conversation_stats_salted(spark, assessed):
     assert ((stats.kept <= stats.turns) & (stats.keep_rate <= 1.0)).all()
 
 
+def test_post_filter_agg_single_udf_eval(spark):
+    """VERDICT r03 item 1: the natural filter-then-aggregate composition
+    (`assessed.filter("keep").groupBy("lang").count()`) used to compile to
+    TWO ArrowEvalPython stages — Catalyst re-extracted the (expensive)
+    assess UDF on both sides of the Filter because pandas UDFs default to
+    deterministic. The factories now mark the UDFs asNondeterministic,
+    forcing a single evaluation; this pins that plan shape."""
+    from pyspark.sql import functions as F
+
+    from lingua_spark.engine.udfs import make_assess_udf
+
+    pdf = transcripts(n_turns=40)
+    df = spark.createDataFrame(pdf)
+    assess = make_assess_udf(spark)
+    assessed = df.withColumn("a", assess(F.col("text"))).select(
+        "conv_id", "turn_idx", "a.lang", "a.keep"
+    )
+    composed = assessed.filter("keep").groupBy("lang").count()
+    plan = composed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # and the composition still computes the right thing
+    got = composed.toPandas()
+    assert (got["count"] > 0).all()
+
+
+def test_flagship_plan_shape(spark):
+    """Plan gate (VERDICT r03 item 7): the flagship pipeline over parquet
+    documents must compile to the published shape (EXPLAINS.md) — a
+    pruned parquet scan, exactly ONE Exchange (the stable-order shuffle),
+    and exactly ONE ArrowEvalPython (the assess UDF). A second Exchange
+    or UDF evaluation is a scale regression, not a correctness one —
+    hence a plan assertion, not a value test."""
+    from lingua_spark.engine.pipeline import assess_turns, with_stable_order
+    from lingua_spark.ops.queries import documents_as_transcripts
+
+    tdf = documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    out = assess_turns(spark, with_stable_order(tdf), None, 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # column pruning reaches the scan: only the 2 needed columns are read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
 def test_output_schema(assessed):
     _, res = assessed
     expected = {
