@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_embedding_neardup_query,
         dedup_minhash_cc,
         detect_language_counts,
+        detect_language_per_doc,
         jaccard_pairs_df,
         make_sql_query,
         multilang_sections_summary,
@@ -52,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: make_sql_query(name) for name in SQL_QUERIES
     }
     out["detect_language_counts"] = detect_language_counts
+    # per-doc twin of the counts query: grades each document's decision
+    # against the dict oracle (500-row fixture), not just the aggregate
+    out["detect_language_per_doc"] = detect_language_per_doc
     out["quality_pipeline_summary"] = quality_pipeline_summary
     out["multilang_sections"] = multilang_sections_summary
     out["ann_lsh_topk"] = ann_lsh_topk_query

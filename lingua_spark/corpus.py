@@ -430,6 +430,88 @@ def vocabulary(lang_name: str) -> list[str]:
     return list(dict.fromkeys(vocab))
 
 
+@lru_cache(maxsize=1)
+def _all_training_words() -> frozenset:
+    """Union of every language's training vocabulary — held-out filtering
+    must be global: a word form absent from its own language's vocab but
+    present in a shared-script neighbor's is still 'seen' by the model
+    family (e.g. 'sono' is an Italian anchor)."""
+    words: set[str] = set()
+    for lang in L.LANGUAGES:
+        words.update(vocabulary(lang.name))
+    return frozenset(words)
+
+
+def heldout_vocabulary(lang_name: str, count: int = 200) -> list[str]:
+    """Distinct words that do NOT appear in the training vocabulary:
+    drawn from the SAME phonotactic syllable inventory (so their n-gram
+    statistics are in-language) but composed under a different seed and
+    filtered against the full training vocab — unseen word forms.
+
+    This is the synthetic analog of the reference's held-out accuracy
+    corpora (its test words are real text never fed to model training,
+    `accuracy-reports/`): the detector must generalize from n-gram
+    frequencies to word forms it has never seen, rather than re-recognize
+    training words (VERDICT r03 item 3 — the in-distribution snapshot
+    samples `vocabulary(lang)` itself)."""
+    lang = L.BY_NAME[lang_name]
+    train = _all_training_words()
+    inventory = syllable_inventories(lang.scripts[0])[lang.name]
+    rng = np.random.default_rng(_lang_seed(lang_name, "heldout"))
+    ranks = np.arange(1, len(inventory) + 1, dtype=np.float64)
+    syll_w = (1.0 / ranks) / (1.0 / ranks).sum()
+    words: list[str] = []
+    seen: set[str] = set()
+    attempts = 0
+    while len(words) < count and attempts < count * 80:
+        attempts += 1
+        n_syll = int(rng.integers(2, 5))
+        idx = rng.choice(len(inventory), size=n_syll, p=syll_w)
+        word = "".join(inventory[i] for i in idx)
+        if word in seen or word in train:
+            continue
+        seen.add(word)
+        words.append(word)
+    return words
+
+
+def heldout_accuracy_corpus(
+    languages: list[str] | None = None, per_category: int = 30
+) -> pd.DataFrame:
+    """Held-out twin of ``accuracy_corpus``: same lang/category/item_id/
+    text layout, but every word comes from ``heldout_vocabulary`` — no
+    overlap with the text the models were trained on. Sampling mirrors
+    the in-distribution corpus per category (uniform distinct draws for
+    single words / pairs, Zipf for sentences)."""
+    names = languages or [l.name for l in L.LANGUAGES]
+    rows = []
+    for name in names:
+        vocab = heldout_vocabulary(name, count=max(200, 2 * per_category))
+        rng = np.random.default_rng(_lang_seed(name, "heldout-accuracy"))
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        probs = (1.0 / ranks) / (1.0 / ranks).sum()
+
+        def sample(k: int) -> str:
+            idx = rng.choice(len(vocab), size=k, p=probs)
+            return " ".join(vocab[i] for i in idx)
+
+        perm = rng.permutation(len(vocab))
+        singles = [vocab[perm[i % len(perm)]] for i in range(per_category)]
+        perm2 = rng.permutation(len(vocab))
+        pairs = [
+            vocab[perm2[(2 * i) % len(perm2)]]
+            + " "
+            + vocab[perm2[(2 * i + 1) % len(perm2)]]
+            for i in range(per_category)
+        ]
+        iso = L.BY_NAME[name].iso1
+        for i in range(per_category):
+            rows.append((iso, "single-word", i, singles[i]))
+            rows.append((iso, "word-pair", i, pairs[i]))
+            rows.append((iso, "sentence", i, sample(int(rng.integers(6, 14)))))
+    return pd.DataFrame(rows, columns=["lang", "category", "item_id", "text"])
+
+
 def _de_bruijn(alphabet: str, n: int) -> str:
     """Standard de Bruijn sequence B(k, n): every length-n string over the
     alphabet appears exactly once (cyclically)."""

@@ -87,6 +87,23 @@ def gen_detect_counts(docs: pd.DataFrame) -> pd.DataFrame:
     return out[["detected_lang", "n_docs"]]
 
 
+def gen_detect_per_doc(docs: pd.DataFrame) -> pd.DataFrame:
+    """Per-document detection fixture (VERDICT r03 item 4): the dict
+    oracle's decision for every doc_id — grades the detector per row, not
+    per aggregate."""
+    from lingua_spark.oracle import OracleDetector
+    from lingua_spark.resources import oracle_tables
+
+    ora = OracleDetector(tables=oracle_tables())
+    rows = [
+        (int(doc_id), iso(ora.detect(t if isinstance(t, str) else "")))
+        for doc_id, t in zip(docs["doc_id"], docs["text"])
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "detected_lang"]).astype(
+        {"doc_id": "int64"}
+    )
+
+
 def gen_quality_summary(docs: pd.DataFrame) -> pd.DataFrame:
     """Replicates documents_as_transcripts + assess_turns + groupBy(lang):
     detection via the dict oracle, finishing via the shared quality
@@ -161,6 +178,7 @@ def main() -> None:
         "dedup_embedding_neardup_hot_buckets": gen_neardup_hot_buckets,
         "dedup_embedding_cc": gen_embedding_cc,
         "detect_language_counts": lambda: gen_detect_counts(docs),
+        "detect_language_per_doc": lambda: gen_detect_per_doc(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
         "multilang_sections": lambda: gen_multilang(docs),
     }
