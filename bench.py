@@ -38,6 +38,20 @@ HEADLINE_QUERIES = [
     "textstats_tokens",
     "quality_keep_sql",
 ]
+# DataFrame-function queries added round 4 (VERDICT r03 item 6): the
+# clustering layer (union-find dedup, persisted-shingle jaccard, final
+# corpus selection) is measured per round, not inferred. These re-run the
+# whole function per pass (they are partially eager: CC iterates with
+# per-round counts, jaccard_df materializes via localCheckpoint).
+DF_QUERIES = [
+    "dedup_jaccard_pairs_df",
+    "dedup_minhash_cc",
+    "corpus_select_final",
+]
+# the round-3 comparable set: HEADLINE_QUERIES + the pipeline — reported
+# separately (value_r03_comparable) so round-over-round totals compare
+# like with like after the DF additions
+_R03_SET = HEADLINE_QUERIES + ["quality_pipeline_60k_turns"]
 N_BENCH_TURNS = 60_000
 # scaling evidence needs a compute-dominant workload: at 60k turns the
 # fixed costs (shuffle of tiny rows, scheduling, stragglers) mask the
@@ -71,6 +85,32 @@ def _bench_queries(spark) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def _bench_df_queries(spark) -> dict[str, float]:
+    from lingua_spark.ops.queries import (
+        corpus_select_final,
+        dedup_minhash_cc,
+        jaccard_pairs_df,
+    )
+
+    fns = {
+        "dedup_jaccard_pairs_df": jaccard_pairs_df,
+        "dedup_minhash_cc": dedup_minhash_cc,
+        "corpus_select_final": corpus_select_final,
+    }
+    times: dict[str, float] = {}
+    for name in DF_QUERIES:
+        fn = fns[name]
+
+        def run():
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        run()  # warm-up pass (same policy as _bench_queries)
+        t0 = time.time()
+        run()
         times[name] = round(time.time() - t0, 3)
     return times
 
@@ -109,10 +149,12 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = _session(f"local[{CPUS}]")
     times = _bench_queries(spark)
+    times.update(_bench_df_queries(spark))
     pipe_sec, tps = _bench_pipeline(spark)
     times["quality_pipeline_60k_turns"] = round(pipe_sec, 3)
     spark.stop()
     total = round(sum(times.values()), 3)
+    r03_comparable = round(sum(times[n] for n in _R03_SET), 3)
     print(
         json.dumps(
             {
@@ -122,6 +164,9 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "pipeline_turns_per_sec": round(tps, 1),
+                # same query set as BENCH_r03 (the DF clustering queries
+                # were added in round 4) — compare THIS round over round
+                "value_r03_comparable": r03_comparable,
             }
         )
     )
