@@ -37,6 +37,9 @@ HEADLINE_QUERIES = [
     "w1_sessionize",
     "textstats_tokens",
     "quality_keep_sql",
+    # round-4 additions (outside _R03_SET, so the comparable total holds)
+    "tfidf_top_terms",
+    "dedup_fingerprint_pairs",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final
@@ -48,10 +51,16 @@ DF_QUERIES = [
     "dedup_minhash_cc",
     "corpus_select_final",
 ]
-# the round-3 comparable set: HEADLINE_QUERIES + the pipeline — reported
-# separately (value_r03_comparable) so round-over-round totals compare
-# like with like after the DF additions
-_R03_SET = HEADLINE_QUERIES + ["quality_pipeline_60k_turns"]
+# the round-3 comparable set (the EXACT BENCH_r03 query list + the
+# pipeline) — reported separately (value_r03_comparable) so
+# round-over-round totals compare like with like after round 4 added
+# queries
+_R03_SET = [
+    "p1_cleanup_regex", "n1_trigram_distinct", "dedup_exact",
+    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_jaccard_pairs",
+    "sim_cosine_topk", "w1_sessionize", "textstats_tokens",
+    "quality_keep_sql", "quality_pipeline_60k_turns",
+]
 N_BENCH_TURNS = 60_000
 # scaling evidence needs a compute-dominant workload: at 60k turns the
 # fixed costs (shuffle of tiny rows, scheduling, stragglers) mask the

@@ -63,10 +63,27 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    und = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    und = und.distinct().persist()
+    # BOTH edge orientations in ONE evaluation of the (potentially very
+    # expensive — e.g. the full LSH pairs query) upstream plan: a
+    # two-branch select+union would inline and evaluate it twice before
+    # the distinct materializes
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
     try:
         labels = ckpt(
             und.select(F.col("u").alias("doc"))
@@ -87,30 +104,29 @@ def connected_components(
             mid = ckpt(
                 labels.join(nbr, "doc", "left").select(
                     "doc",
+                    F.col("rep").alias("old_rep"),
                     F.least(
                         F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
                     ).alias("rep"),
                 )
             )
-            # pointer jumping: also adopt the label of the current label
+            # pointer jumping: also adopt the label of the current label.
+            # old_rep rides along so convergence is a filter+count over
+            # the checkpointed table — no extra labels join per round.
             hop = mid.select(
                 F.col("doc").alias("rep"), F.col("rep").alias("rep2")
             )
             new = ckpt(
                 mid.join(hop, "rep", "left").select(
                     "doc",
+                    "old_rep",
                     F.least(
                         F.col("rep"), F.coalesce("rep2", F.col("rep"))
                     ).alias("rep"),
                 )
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "doc")
-                .filter(F.col("n.rep") != F.col("o.rep"))
-                .count()
-            )
-            labels = new
+            changed = new.filter(F.col("rep") != F.col("old_rep")).count()
+            labels = new.select("doc", "rep")
             if changed == 0:
                 return labels
     finally:

@@ -800,9 +800,95 @@ SELECT DISTINCT doc_id, fp AS fingerprint FROM winnowed
 """
 
 
+def _tfidf_top_terms(dialect: str, topk: int = 3) -> str:
+    """TF-IDF top-k terms per document — the classic keyword-extraction
+    primitive of a training-data pipeline (smoothed idf =
+    ln((N+1)/(df+1)) + 1, sklearn's convention). Pure SQL in both
+    dialects: one token explode, two aggregations, one window. Scale
+    shape: tf is a (doc, term) groupBy, df a (term) groupBy (both
+    map-side-combinable), the doc-count N a broadcastable scalar
+    subquery; no self-joins. Scores rounded to 4 decimals so the oracle
+    hash compares stably across engines' ln implementations."""
+    toks = _tokens(dialect)
+    ex = "explode" if dialect == "spark" else "unnest"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {ex}({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+           AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
+def _fingerprint_neardup_pairs(dialect: str, min_common: int = 3) -> str:
+    """Near-duplicate candidate pairs by WINNOWING-FINGERPRINT overlap —
+    the MOSS-style complement to MinHash (robust to local edits because
+    fingerprints are window minima of rolling hashes; reuses the
+    doc_fingerprint_winnow definition). Pairs sharing >= ``min_common``
+    fingerprints, with the overlap coefficient
+    common / least(|fp_a|, |fp_b|). Scale shape: the join runs on the
+    inverted (fingerprint -> docs) index with hot fingerprints dropped
+    (df <= 20 — a fingerprint shared by more docs is boilerplate and
+    still recovered through its rarer neighbors), same prefix-filter
+    pattern as the rare-shingle jaccard join."""
+    winnow = _fingerprint_winnow(dialect)
+    return f"""
+WITH fp AS ({winnow}),
+sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint
+  HAVING count(*) BETWEEN 2 AND 20
+),
+rfp AS (
+  SELECT fp.doc_id, fp.fingerprint
+  FROM fp JOIN rare ON fp.fingerprint = rare.fingerprint
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common_fp
+  FROM rfp a JOIN rfp b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {min_common}
+)
+SELECT p.doc_a, p.doc_b, p.common_fp,
+       round(CAST(p.common_fp AS DOUBLE) / least(sa.n, sb.n), 4)
+         AS overlap
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+"""
+
+
 SQL_QUERIES["token_count_bpe"] = (
     _token_count_bpe("spark"),
     _token_count_bpe("duckdb"),
+)
+SQL_QUERIES["tfidf_top_terms"] = (
+    _tfidf_top_terms("spark"),
+    _tfidf_top_terms("duckdb"),
+)
+SQL_QUERIES["dedup_fingerprint_pairs"] = (
+    _fingerprint_neardup_pairs("spark"),
+    _fingerprint_neardup_pairs("duckdb"),
 )
 SQL_QUERIES["doc_fingerprint_winnow"] = (
     _fingerprint_winnow("spark"),

@@ -297,6 +297,27 @@ def test_token_count_and_fingerprints(spark):
     assert (per_doc < clean_len.loc[per_doc.index]).all()
 
 
+def test_tfidf_and_fingerprint_pairs(spark):
+    """tfidf_top_terms: <= 3 ranked terms per doc, rank-ordered scores,
+    and a term appearing in every document cannot out-rank a rarer term
+    with equal tf. dedup_fingerprint_pairs: overlap is a coefficient in
+    (0, 1] and symmetric-dedup (doc_a < doc_b) holds."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    tfidf = spark.sql(SQL_QUERIES["tfidf_top_terms"][0]).toPandas()
+    per_doc = tfidf.groupby("doc_id")
+    assert (per_doc.size() <= 3).all()
+    for _, g in per_doc:
+        g = g.sort_values("rank")
+        assert (g.tfidf.diff().dropna() <= 1e-9).all()  # non-increasing
+    pairs = spark.sql(SQL_QUERIES["dedup_fingerprint_pairs"][0]).toPandas()
+    if len(pairs):
+        assert ((pairs.overlap > 0) & (pairs.overlap <= 1.0)).all()
+        assert (pairs.doc_a < pairs.doc_b).all()
+        assert (pairs.common_fp >= 3).all()
+
+
 def test_multimodal_frame_sampling(spark):
     from lingua_spark.ops.multimodal import sample_frames, synth_media
 
