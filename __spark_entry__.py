@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.queries import corpus_select_final
 
     out["corpus_select_final"] = corpus_select_final
+    # skew-safe salted two-phase conversation rollup, graded against an
+    # UNSALTED single-phase oracle (value-identity of the decomposition)
+    from lingua_spark.ops.queries import conv_stats_salted
+
+    out["conv_stats_salted"] = conv_stats_salted
     return out
 
 
@@ -106,4 +111,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["dedup_minhash_cc"] = minhash_cc_oracle_sql()
     out["corpus_select_final"] = corpus_select_oracle_sql()
+    from lingua_spark.ops.queries import conv_stats_oracle_sql
+
+    out["conv_stats_salted"] = conv_stats_oracle_sql()
     return out

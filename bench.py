@@ -40,6 +40,9 @@ HEADLINE_QUERIES = [
     # round-4 additions (outside _R03_SET, so the comparable total holds)
     "tfidf_top_terms",
     "dedup_fingerprint_pairs",
+    "gopher_quality",
+    "decontaminate_ngram",
+    "conv_dedup_exact",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final
@@ -50,6 +53,7 @@ DF_QUERIES = [
     "dedup_jaccard_pairs_df",
     "dedup_minhash_cc",
     "corpus_select_final",
+    "conv_stats_salted",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -100,6 +104,7 @@ def _bench_queries(spark) -> dict[str, float]:
 
 def _bench_df_queries(spark) -> dict[str, float]:
     from lingua_spark.ops.queries import (
+        conv_stats_salted,
         corpus_select_final,
         dedup_minhash_cc,
         jaccard_pairs_df,
@@ -109,6 +114,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         "dedup_jaccard_pairs_df": jaccard_pairs_df,
         "dedup_minhash_cc": dedup_minhash_cc,
         "corpus_select_final": corpus_select_final,
+        "conv_stats_salted": conv_stats_salted,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

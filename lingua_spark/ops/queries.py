@@ -878,9 +878,157 @@ JOIN sizes sb ON p.doc_b = sb.doc_id
 """
 
 
+def _word_ngrams(dialect: str, arr: str, n: int) -> str:
+    """All n-token word shingles of token array ``arr``, space-joined.
+    Empty (typed) array when the doc has fewer than n tokens — never a
+    padded pseudo-shingle, so short docs contribute nothing."""
+    if dialect == "spark":
+        # sequence(1, k) DESCENDS when k < 1, so the short-doc case must
+        # be guarded with a typed empty array (array_repeat keeps the
+        # element type string; bare array() would be array<void>)
+        return (
+            f"CASE WHEN size({arr}) >= {n} THEN"
+            f" transform(sequence(1, size({arr}) - {n - 1}),"
+            f" i -> array_join(slice({arr}, i, {n}), ' '))"
+            " ELSE array_repeat('', 0) END"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({arr}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(list_slice({arr}, i, i + {n - 1}), ' '))"
+    )
+
+
+def _gopher_quality(dialect: str) -> str:
+    """Gopher-style repetition + shape gate (Rae et al. 2021 §A1.1,
+    public paper): per-doc token count, mean token length, most-frequent
+    token fraction, most-frequent word-bigram fraction, and a keep flag
+    combining them (thresholds scaled to the short synthetic docs; the
+    STRUCTURE — bounds on count, mean length, top-n-gram mass — is the
+    published rule set). Scale shape: two explodes, each collapsed by a
+    map-side-combinable (doc, term) count then a (doc) max/sum — no
+    windows, no joins except the final per-doc LEFT JOIN (bigram side is
+    absent for 1-token docs)."""
+    toks = _tokens(dialect)
+    ex = "explode" if dialect == "spark" else "unnest"
+    bigrams = _word_ngrams(dialect, "t", 2)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {ex}(t) AS term
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+),
+tcnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+tstat AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c,
+         CAST(sum(c * length(term)) AS DOUBLE) / sum(c) AS mean_len
+  FROM tcnt GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, {ex}(g) AS bg
+  FROM (SELECT doc_id, {bigrams} AS g
+        FROM (SELECT doc_id, {toks} AS t FROM documents))
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+bstat AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bc
+  FROM bcnt GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(t.mean_len AS DOUBLE), 4) AS mean_token_len,
+       round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_token_frac,
+       round(coalesce(CAST(b.top_bc AS DOUBLE) / b.n_bigrams, 0.0), 4)
+         AS top_bigram_frac,
+       CAST(t.n_tokens >= 5
+        AND t.mean_len BETWEEN 2 AND 12
+        AND t.top_c * 1.0 / t.n_tokens <= 0.3
+        AND coalesce(b.top_bc * 1.0 / b.n_bigrams, 0.0) <= 0.25
+        AS BOOLEAN) AS keep_gopher
+FROM tstat t LEFT JOIN bstat b ON t.doc_id = b.doc_id
+"""
+
+
+def _decontaminate(dialect: str, n: int = 4, eval_mod: int = 97) -> str:
+    """Benchmark decontamination by word-n-gram overlap — the standard
+    eval-leak filter of a training-data pipeline (GPT-3 appendix C /
+    Gopher §A2-style n-gram collision against the eval set, public
+    papers). The eval slice here is the deterministic ``doc_id %
+    {eval_mod} = 0`` subset standing in for a benchmark table; a training
+    doc is contaminated when it shares any {n}-token shingle with an
+    eval doc, and the query returns (doc_id, n_contaminated_ngrams) for
+    the flagged docs. Scale shape: the eval side is DISTINCT-collapsed
+    and tiny (the benchmark corpus, ~KBs against 100 TB of training
+    text) — Spark broadcasts it; the train side is one explode collapsed
+    by a semi-join-shaped inner join + (doc) count. No self-join of the
+    big side."""
+    toks = _tokens(dialect)
+    ex = "explode" if dialect == "spark" else "unnest"
+    grams = _word_ngrams(dialect, "t", n)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {ex}(g) AS s
+  FROM (SELECT doc_id, {grams} AS g
+        FROM (SELECT doc_id, {toks} AS t FROM documents))
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {eval_mod} <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+"""
+
+
+def _conv_dedup_exact(dialect: str) -> str:
+    """CONVERSATION-level exact dedup over the transcript mapping (the
+    graft payload): a conversation's canonical key is the md5 of its
+    turn texts concatenated in stable turn order (US separator, 0x1f),
+    duplicates collapse onto min(conv_id). Mirrors the per-turn
+    ``dedup_exact`` one level up the transcript hierarchy. Scale shape:
+    one groupBy(conv_id) building the canonical string (sort inside the
+    aggregation buffer, no window), one groupBy(conv_key) — both
+    map-side-combinable; the shuffle key after the first agg is the
+    16-byte md5, never the concatenated text."""
+    if dialect == "spark":
+        conv = "concat('conv-', CAST(doc_id % 50 AS STRING))"
+        canon = (
+            "md5(array_join(transform("
+            "array_sort(collect_list(struct(turn_idx, text))),"
+            " s -> s.text), char(31)))"
+        )
+    else:
+        conv = "concat('conv-', CAST(doc_id % 50 AS VARCHAR))"
+        canon = "md5(string_agg(text, chr(31) ORDER BY turn_idx))"
+    return f"""
+WITH turns AS (
+  SELECT {conv} AS conv_id,
+         CAST(floor(doc_id / 50.0) AS INT) AS turn_idx, text
+  FROM documents
+),
+canon AS (
+  SELECT conv_id, {canon} AS conv_key, count(*) AS n_turns
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_key, min(conv_id) AS keep_conv_id,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(n_turns) AS BIGINT) AS n_turns
+FROM canon GROUP BY conv_key
+"""
+
+
 SQL_QUERIES["token_count_bpe"] = (
     _token_count_bpe("spark"),
     _token_count_bpe("duckdb"),
+)
+SQL_QUERIES["gopher_quality"] = (
+    _gopher_quality("spark"),
+    _gopher_quality("duckdb"),
+)
+SQL_QUERIES["decontaminate_ngram"] = (
+    _decontaminate("spark"),
+    _decontaminate("duckdb"),
+)
+SQL_QUERIES["conv_dedup_exact"] = (
+    _conv_dedup_exact("spark"),
+    _conv_dedup_exact("duckdb"),
 )
 SQL_QUERIES["tfidf_top_terms"] = (
     _tfidf_top_terms("spark"),
@@ -1108,6 +1256,66 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("tool"),
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
+
+
+_KEEP_EXPR_SPARK = f"""
+CAST(length(text) >= 8
+ AND size({_tokens('spark')}) >= 2
+ AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) * 1.0
+     / greatest(length(text), 1) <= 0.3
+ AND size(array_distinct({_tokens('spark')})) * 1.0
+     / greatest(size({_tokens('spark')}), 1) >= 0.2 AS BOOLEAN)
+"""
+
+_KEEP_EXPR_DUCK = f"""
+CAST(length(text) >= 8
+ AND len({_tokens('duckdb')}) >= 2
+ AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+     / greatest(length(text), 1) <= 0.3
+ AND len(list_distinct({_tokens('duckdb')})) * 1.0
+     / greatest(len({_tokens('duckdb')}), 1) >= 0.2 AS BOOLEAN)
+"""
+
+
+def conv_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation keep-rate through the engine's SKEW-SAFE salted
+    two-phase aggregation (``engine.pipeline.conversation_stats``: a
+    16-way salted partial groupBy(conv_id, salt) then the final
+    groupBy(conv_id) combine — the north rule's 'salts skewed
+    conversation partitions before shuffle'). The DuckDB oracle is a
+    PLAIN single-phase GROUP BY, so the gate proves the salted
+    decomposition is value-identical to the unsalted aggregation —
+    the property that makes it safe to deploy against a conversation
+    whose turn count is 10^6x the median. Keep flag = the
+    quality_keep_sql heuristic, so the whole query stays JVM-side."""
+    from ..engine.pipeline import conversation_stats
+
+    tdf = documents_as_transcripts(spark, sf_dir)
+    flagged = tdf.withColumn("keep", F.expr(_KEEP_EXPR_SPARK))
+    stats = conversation_stats(flagged)
+    return stats.select(
+        "conv_id",
+        F.col("turns").cast("long").alias("turns"),
+        F.col("kept").cast("long").alias("kept"),
+        F.round("keep_rate", 4).alias("keep_rate"),
+    )
+
+
+def conv_stats_oracle_sql() -> str:
+    """Unsalted single-phase rollup: the independent-shape oracle for
+    ``conv_stats_salted``."""
+    return f"""
+WITH turns AS (
+  SELECT concat('conv-', CAST(doc_id % 50 AS VARCHAR)) AS conv_id,
+         {_KEEP_EXPR_DUCK} AS keep
+  FROM documents
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS keep_rate
+FROM turns GROUP BY conv_id
+"""
 
 
 def detect_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -888,3 +888,112 @@ def test_streaming_exact_dedup_flags_and_restart(spark, tmp_path):
     got2 = spark.read.parquet(str(outdir)).toPandas()
     r = got2[got2.conv_id == "c3"].iloc[0]
     assert bool(r.is_dup) and r.occurrence == 3  # state survived restart
+
+
+def test_gopher_quality_invariants(spark):
+    """gopher_quality: fractions are valid, and the keep flag is exactly
+    the published rule recomputed from the query's own output columns."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    g = spark.sql(SQL_QUERIES["gopher_quality"][0]).toPandas()
+    assert (g.n_tokens >= 1).all()
+    assert ((g.top_token_frac > 0) & (g.top_token_frac <= 1)).all()
+    assert ((g.top_bigram_frac >= 0) & (g.top_bigram_frac <= 1)).all()
+    # the most frequent token accounts for at least 1/n of the mass
+    # (5e-5 slack: the reported fraction is rounded to 4 decimals)
+    assert (g.top_token_frac >= 1.0 / g.n_tokens - 5e-5).all()
+    want = (
+        (g.n_tokens >= 5)
+        & g.mean_token_len.between(2, 12)
+        & (g.top_token_frac <= 0.3)
+        & (g.top_bigram_frac <= 0.25)
+    )
+    # rounding in the reported fractions can flip a razor-edge case; on
+    # this corpus none sit on the boundary
+    assert (g.keep_gopher == want).all()
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    """decontaminate_ngram: never flags an eval doc, and every flagged
+    doc really shares a 4-token shingle with the eval slice (recomputed
+    in pandas)."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.01")
+    d = spark.sql(SQL_QUERIES["decontaminate_ngram"][0]).toPandas()
+    assert len(d) > 0
+    assert (d.doc_id % 97 != 0).all()
+    docs = spark.sql("SELECT doc_id, text FROM documents").toPandas()
+
+    def grams(text):
+        t = [w for w in text.lower().strip().split(" ") if w]
+        return {" ".join(t[i : i + 4]) for i in range(len(t) - 3)}
+
+    ev = set()
+    for _, r in docs[docs.doc_id % 97 == 0].iterrows():
+        ev |= grams(r.text)
+    by_id = docs.set_index("doc_id").text
+    for _, r in d.iterrows():
+        hits = grams(by_id.loc[r.doc_id]) & ev
+        assert len(hits) == r.n_contaminated_ngrams
+
+
+def test_conv_dedup_exact_partitions_convs(spark):
+    """conv_dedup_exact: every conversation lands in exactly one group,
+    keys are md5 hex, and keep_conv_id is a member of the group."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    c = spark.sql(SQL_QUERIES["conv_dedup_exact"][0]).toPandas()
+    n_convs = spark.sql(
+        "SELECT count(DISTINCT doc_id % 50) AS n FROM documents"
+    ).toPandas().n[0]
+    assert c.dup_count.sum() == n_convs
+    assert c.conv_key.str.fullmatch("[0-9a-f]{32}").all()
+    assert c.keep_conv_id.str.startswith("conv-").all()
+
+
+def test_conv_stats_salted_equals_plain_agg_on_skewed_input(spark):
+    """The north rule's skew criterion, directly: one conversation holds
+    ~90% of all turns (a 1000x-median hot key); the salted two-phase
+    rollup must still equal the plain single-phase aggregation row for
+    row. Also checks the partial stage really fans the hot key out
+    across salt buckets (>1 partial per conv)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lingua_spark.engine.pipeline import conversation_stats
+
+    rows = [("conv-hot", i, i % 3 != 0) for i in range(9000)]
+    for c in range(100):
+        rows += [(f"conv-{c}", i, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "keep"])
+    )
+    got = conversation_stats(df, n_salt=16).toPandas()
+    want = (
+        df.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            (F.sum(F.col("keep").cast("long")) / F.count("*")).alias(
+                "keep_rate"
+            ),
+        )
+        .toPandas()
+    )
+    g = got.sort_values("conv_id").reset_index(drop=True)
+    w = want.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_like=True)
+    # the hot conversation's partial agg is spread over the salt space
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(16))
+    )
+    n_partials = (
+        salted.filter("conv_id = 'conv-hot'")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_partials == 16
