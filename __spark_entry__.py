@@ -72,9 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (iterative label propagation in Spark; recursive-CTE closure oracle)
     out["dedup_minhash_cc"] = dedup_minhash_cc
     # same union-find over embedding near-dup pairs (BFS fixture twin)
-    from lingua_spark.ops.similarity import dedup_embedding_cc
+    from lingua_spark.ops.similarity import dedup_embedding_cc, dedup_semantic
 
     out["dedup_embedding_cc"] = dedup_embedding_cc
+    # SemDeDup: k-means-cell semantic dedup (the IVF-analog scale path
+    # for embedding dedup; NumPy-twin fixture oracle)
+    out["dedup_semantic"] = dedup_semantic
     # quality gate AND dedup-representative: the final selection list
     from lingua_spark.ops.queries import corpus_select_final
 

@@ -1064,6 +1064,7 @@ FIXTURE_ORACLE_QUERIES = (
     "dedup_embedding_neardup",
     "dedup_embedding_neardup_hot_buckets",
     "dedup_embedding_cc",
+    "dedup_semantic",
     "detect_language_counts",
     "detect_language_per_doc",
     "quality_pipeline_summary",

@@ -759,3 +759,155 @@ def expected_embedding_cc(emb: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["vec_id", "cluster_rep", "keep"]
     ).astype({"vec_id": "int64", "cluster_rep": "int64", "keep": "bool"})
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by k-means cell + within-cell cosine domination
+# (Abbas et al. 2023, "SemDeDup", public paper). The k-means-cell analog of
+# the LSH-bucketed near-dup path: clustering bounds the pairwise work to
+# within-cell, so total cost is O(sum cell_size^2) instead of O(n^2) — at
+# 100 TB, pick n_cells so n/n_cells fits one executor's memory and the
+# heavy stage stays an embarrassingly-parallel applyInPandas over cells.
+
+SEMDEDUP_TAU = 0.4
+
+
+def semdedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_cells: int = 32,
+    tau: float = SEMDEDUP_TAU,
+    seed: int = 11,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Per-vector semantic-dedup decision: (vec_id, cell, centroid_sim,
+    keep, dup_of).
+
+    Reuses the IVF codebook machinery (``kmeans_centroids`` over the
+    deterministic ``_train_sample``); every vector is assigned to its
+    nearest cell, then within each cell vectors are visited in SemDeDup
+    priority order — ASCENDING cosine-to-centroid (the paper keeps the
+    LEAST prototypical member of a duplicate group), vec_id ascending as
+    the tie-break — and a vector is dropped when its cosine to ANY
+    earlier-priority cell member reaches ``tau`` (the paper's one-shot
+    variant). ``dup_of`` is the first such dominating member, surfaced
+    for drop attribution (no-silent-drops rule).
+
+    Scale shape: one broadcast of the codebook, one pandas-UDF
+    projection for cell assignment, ONE shuffle keyed by the (8-byte)
+    cell id, then per-cell NumPy matmuls inside applyInPandas. Nothing
+    driver-side except the bounded codebook training (IVF_TRAIN_CAP
+    sample). Fixture oracle: ``expected_semdedup`` recomputes every step
+    in NumPy, bit-identically."""
+    from ..engine.udfs import ship_package
+
+    ship_package(spark)
+    cent = kmeans_centroids(_train_sample(emb, n_vectors), n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(LongType())
+    def cell_of(embs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - c[None]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1))
+
+    with_cell = emb.select(
+        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = bc.value
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vec_ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cn = c[cell] / np.linalg.norm(c[cell])
+        csim = nrm @ cn
+        order = np.lexsort((vec_ids, csim))  # priority: csim asc, id asc
+        P = nrm[order] @ nrm[order].T
+        dom = np.tril(P >= tau, -1)  # j earlier than i in priority order
+        keep = ~dom.any(axis=1)
+        first = dom.argmax(axis=1)  # first dominating j where any
+        rows = []
+        for k in range(len(order)):
+            i = order[k]
+            rows.append(
+                (
+                    int(vec_ids[i]),
+                    cell,
+                    float(
+                        np.sign(csim[i])
+                        * np.floor(np.abs(csim[i]) * 1e4 + 0.5)
+                        / 1e4
+                    ),
+                    bool(keep[k]),
+                    None if keep[k] else int(vec_ids[order[first[k]]]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["vec_id", "cell", "centroid_sim", "keep", "dup_of"]
+        )
+
+    return with_cell.groupBy("cell").applyInPandas(
+        dedup_cell,
+        "vec_id long, cell long, centroid_sim double, keep boolean,"
+        " dup_of long",
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(spark, emb)
+
+
+def expected_semdedup(
+    emb: pd.DataFrame,
+    n_cells: int = 32,
+    tau: float = SEMDEDUP_TAU,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """NumPy twin of ``semdedup`` for the fixture oracle: identical
+    sample, codebook, assignment, priority order, domination rule and
+    HALF_UP rounding."""
+    ordered = emb.sort_values("vec_id")
+    M = np.stack(ordered["embedding"].to_numpy()).astype(np.float64)
+    vec_ids = ordered["vec_id"].to_numpy()
+    n = len(M)
+    mod = max(1, -(-n // IVF_TRAIN_CAP))
+    sel = np.array([xxh64_long(int(v)) % mod == 0 for v in vec_ids])
+    cent = kmeans_centroids(M[sel], n_cells, seed=seed)
+    d = ((M[:, None, :] - cent[None]) ** 2).sum(-1)
+    assign = d.argmin(1)
+    nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    rows = []
+    for cell in sorted(set(int(a) for a in assign)):
+        idx = np.flatnonzero(assign == cell)
+        cn = cent[cell] / np.linalg.norm(cent[cell])
+        csim = nrm[idx] @ cn
+        order = np.lexsort((vec_ids[idx], csim))
+        P = nrm[idx][order] @ nrm[idx][order].T
+        dom = np.tril(P >= tau, -1)
+        keep = ~dom.any(axis=1)
+        first = dom.argmax(axis=1)
+        for k in range(len(order)):
+            i = idx[order[k]]
+            rows.append(
+                (
+                    int(vec_ids[i]),
+                    cell,
+                    float(
+                        np.sign(csim[order[k]])
+                        * np.floor(np.abs(csim[order[k]]) * 1e4 + 0.5)
+                        / 1e4
+                    ),
+                    bool(keep[k]),
+                    None
+                    if keep[k]
+                    else int(vec_ids[idx[order[first[k]]]]),
+                )
+            )
+    out = pd.DataFrame(
+        rows, columns=["vec_id", "cell", "centroid_sim", "keep", "dup_of"]
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -65,6 +65,13 @@ def gen_embedding_cc() -> pd.DataFrame:
     return expected_embedding_cc(emb)
 
 
+def gen_semdedup() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_semdedup
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_semdedup(emb)
+
+
 def gen_neardup_hot_buckets() -> pd.DataFrame:
     from lingua_spark.ops.similarity import expected_neardup_hot_buckets
 
@@ -177,6 +184,7 @@ def main() -> None:
         "dedup_embedding_neardup": gen_neardup,
         "dedup_embedding_neardup_hot_buckets": gen_neardup_hot_buckets,
         "dedup_embedding_cc": gen_embedding_cc,
+        "dedup_semantic": gen_semdedup,
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "detect_language_per_doc": lambda: gen_detect_per_doc(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),

@@ -997,3 +997,58 @@ def test_conv_stats_salted_equals_plain_agg_on_skewed_input(spark):
         .count()
     )
     assert n_partials == 16
+
+
+def test_semdedup_matches_numpy_twin(spark):
+    """Spark semdedup == the NumPy fixture twin at sf0.001 (every column,
+    including drop attribution)."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import dedup_semantic, expected_semdedup
+
+    got = (
+        dedup_semantic(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = expected_semdedup(emb)
+    pd.testing.assert_frame_equal(
+        got.astype({"dup_of": "float64"}),
+        want.astype({"dup_of": "float64"}),
+        check_like=True,
+    )
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Plant exact-duplicate vectors: exactly one member of each planted
+    pair survives, dup_of points into the same cell, and non-duplicate
+    vectors are untouched."""
+    import numpy as np
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    # vectors 100..104 duplicate vectors 0..4 exactly (cosine 1.0)
+    dup = base[:5].copy()
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    rows += [(100 + i, dup[i].tolist()) for i in range(5)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    out = semdedup(spark, emb, n_cells=4, tau=0.99, n_vectors=65).toPandas()
+    assert len(out) == 65
+    for i in range(5):
+        pair = out[out.vec_id.isin([i, 100 + i])]
+        assert len(pair) == 2
+        assert pair.keep.sum() == 1  # exactly one survives
+        dropped = pair[~pair.keep].iloc[0]
+        kept = pair[pair.keep].iloc[0]
+        assert dropped.dup_of == kept.vec_id
+        assert dropped.cell == kept.cell  # same k-means cell
+    # with tau=0.99 nothing else collides
+    others = out[~out.vec_id.isin(list(range(5)) + [100 + i for i in range(5)])]
+    assert others.keep.all()
