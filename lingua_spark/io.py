@@ -96,3 +96,41 @@ def write_assessments(
         df.write.mode("overwrite").partitionBy(partition_by).parquet(dest)
     else:
         raise ValueError(f"unknown output format: {format!r}")
+
+
+def write_transcripts_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persist a transcript table BUCKETED by conv_id and sorted by
+    (conv_id, turn_idx) — the co-location layout for conversation-level
+    work. Every downstream conv-keyed operation (per-conversation
+    rollups, session windows, conversation dedup, the stable-order
+    window itself) then reads data already hash-partitioned on conv_id:
+    Spark elides the Exchange entirely (plan-asserted in
+    tests/test_io.py). At 10^12 turns this converts the pipeline's
+    dominant shuffle into a free property of the storage layout — the
+    Parquet/managed-table analog of an Iceberg bucket partition
+    transform (``bucket(N, conv_id)``).
+
+    ``n_buckets`` should be sized so one bucket (total_rows/n_buckets)
+    fits an executor's working memory; buckets are the unit of read
+    parallelism for bucketed scans.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_transcripts_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed transcript table (bucket metadata comes from the
+    catalog — reading the bare parquet path would silently drop the
+    co-location guarantee, so always go through the table name)."""
+    return _validate(spark.read.table(table), table)

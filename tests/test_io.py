@@ -84,3 +84,58 @@ def test_submit_cli_end_to_end(spark, tmp_path):
     assert sorted(summary["processed_partitions"]) == [0, 1, 2, 3]
     got = spark.read.parquet(str(out / "data"))
     assert got.count() == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+def test_bucketed_conv_rollup_needs_no_exchange(spark, tmp_path):
+    """The co-location property the bucketed layout exists for: a
+    conversation-level aggregation over the bucketed table must compile
+    WITHOUT any shuffle (no Exchange in the plan), and a bucketed-to-
+    bucketed conv-keyed join must also be Exchange-free — while both
+    produce results identical to the plain-parquet path."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from lingua_spark.io import (
+        read_transcripts_bucketed,
+        write_transcripts_bucketed,
+    )
+
+    pdf = transcripts(n_turns=2000)
+    df = spark.createDataFrame(pdf)
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    write_transcripts_bucketed(
+        df, "t_bucketed", str(tmp_path / "t_bucketed"), n_buckets=8
+    )
+    bt = read_transcripts_bucketed(spark, "t_bucketed")
+
+    def plan_of(qdf) -> str:
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            qdf.explain("formatted")
+        return buf.getvalue()
+
+    agg = bt.groupBy("conv_id").agg(
+        F.count("*").alias("turns"), F.max("turn_idx").alias("last_turn")
+    )
+    p = plan_of(agg)
+    assert "Exchange" not in p, p  # aggregation rides the bucket layout
+    want = (
+        df.groupBy("conv_id")
+        .agg(F.count("*").alias("turns"), F.max("turn_idx").alias("last_turn"))
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    got = agg.toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert got.equals(want)
+
+    # bucketed-to-bucketed join on the bucket key: no shuffle either side
+    joined = bt.alias("a").join(
+        agg.alias("s"), on="conv_id"
+    )
+    pj = plan_of(joined)
+    assert "Exchange" not in pj.replace("BroadcastExchange", ""), pj
+    assert joined.count() == df.count()
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
