@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the dict oracle (500-row fixture), not just the aggregate
     out["detect_language_per_doc"] = detect_language_per_doc
     out["quality_pipeline_summary"] = quality_pipeline_summary
+    # drop-reason attribution + label-vs-detector confusion matrix
+    from lingua_spark.ops.queries import detect_confusion, quality_flag_counts
+
+    out["quality_flag_counts"] = quality_flag_counts
+    out["detect_confusion"] = detect_confusion
     out["multilang_sections"] = multilang_sections_summary
     out["ann_lsh_topk"] = ann_lsh_topk_query
     out["ann_ivf_topk"] = ann_ivf_topk_query

@@ -1075,7 +1075,9 @@ FIXTURE_ORACLE_QUERIES = (
     "dedup_semantic",
     "detect_language_counts",
     "detect_language_per_doc",
+    "detect_confusion",
     "quality_pipeline_summary",
+    "quality_flag_counts",
     "multilang_sections",
 )
 
@@ -1420,4 +1422,62 @@ def quality_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_turns"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum((F.col("n_scrubbed") > 0).cast("long")).alias("scrubbed"),
+    )
+
+
+def quality_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason attribution: explode the assess pipeline's
+    quality_flags and count turns per flag — the observability rollup a
+    100 TB filtering run reports next to its keep rate (WHY documents
+    were dropped, not just how many). One extra explode + one
+    map-side-combinable groupBy on top of the assessed output; the
+    expensive UDF stage is shared, evaluated once (asNondeterministic).
+    Flag-free turns are counted under ``_clean`` so the rollup is
+    total-preserving (sum(n_turns) >= total turns; a multi-flag turn
+    counts once per flag). Fixture oracle: the dict-oracle twin collects
+    the same flags per turn in pure Python. The driver's synthetic
+    documents trip no flags (all ``_clean``) — the per-flag behavior is
+    pinned by an adversarial-input pytest instead."""
+    from ..engine.pipeline import assess_turns, with_stable_order
+
+    tdf = documents_as_transcripts(spark, sf_dir)
+    assessed = assess_turns(spark, with_stable_order(tdf), None, 8)
+    return (
+        assessed.select(
+            F.explode(
+                F.when(
+                    F.size("quality_flags") == 0, F.array(F.lit("_clean"))
+                ).otherwise(F.col("quality_flags"))
+            ).alias("flag")
+        )
+        .groupBy("flag")
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+def detect_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-detector confusion matrix over the documents table:
+    (true_lang, detected_lang, n_docs) — the per-language error
+    breakdown behind the accuracy report (A6 analog at pair
+    granularity). Detection is the full lingua-core UDF; the aggregation
+    is a two-column groupBy (map-side-combinable). Fixture oracle: the
+    dict-oracle decision joined to the stored label, per doc.
+
+    Honesty note: the driver-generated documents table carries synthetic
+    ``lang`` labels over English-vocabulary text, so on that input every
+    row correctly detects as ``en`` and the matrix documents the label
+    column's synthetic-ness. Real per-language discrimination evidence
+    is the 79-language corpus eval (`reports.py`, BENCH/ACCURACY*.md) —
+    this query is the aggregation operator, graded on shape + values."""
+    from ..engine.udfs import make_detect_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    detect = make_detect_udf(spark)
+    return (
+        docs.withColumn("d", detect(F.col("text")))
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("d.lang").alias("detected_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
     )

@@ -153,6 +153,52 @@ def gen_quality_summary(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def gen_quality_flag_counts(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-Python twin of ops.queries.quality_flag_counts: the dict
+    oracle's detection + the shared quality functions, flags exploded and
+    counted."""
+    from collections import Counter
+
+    from lingua_spark.oracle import OracleDetector
+    from lingua_spark.quality import QualityConfig, _finish_assessment
+    from lingua_spark.resources import fasttextish, oracle_tables, packed_models
+
+    ora = OracleDetector(tables=oracle_tables())
+    models = packed_models()
+    ft = fasttextish()
+    cfg = QualityConfig()
+    counts: Counter[str] = Counter()
+    for text in docs["text"]:
+        t = text if isinstance(text, str) else ""
+        confs = ora.confidence_values(t)
+        r = _finish_assessment(
+            t, confs, cfg.minimum_relative_distance, models, ft, cfg
+        )
+        counts.update(r["quality_flags"] or ["_clean"])
+    return pd.DataFrame(
+        sorted(counts.items()), columns=["flag", "n_turns"]
+    ).astype({"n_turns": "int64"})
+
+
+def gen_detect_confusion(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-Python twin of ops.queries.detect_confusion: dict-oracle
+    decision vs the stored label, aggregated to pair counts."""
+    from collections import Counter
+
+    from lingua_spark.oracle import OracleDetector
+    from lingua_spark.resources import oracle_tables
+
+    ora = OracleDetector(tables=oracle_tables())
+    counts: Counter[tuple[str, str]] = Counter()
+    for lang, t in zip(docs["lang"], docs["text"]):
+        det = iso(ora.detect(t if isinstance(t, str) else ""))
+        counts[(str(lang), det)] += 1
+    rows = [(a, b, n) for (a, b), n in sorted(counts.items())]
+    return pd.DataFrame(
+        rows, columns=["true_lang", "detected_lang", "n_docs"]
+    ).astype({"n_docs": "int64"})
+
+
 def gen_multilang(docs: pd.DataFrame) -> pd.DataFrame:
     """Sections from the DICT oracle (VERDICT r02 item 6): the engine UDF
     runs core.multilang over the NumPy-packed Detector; this fixture runs
@@ -188,6 +234,8 @@ def main() -> None:
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "detect_language_per_doc": lambda: gen_detect_per_doc(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
+        "quality_flag_counts": lambda: gen_quality_flag_counts(docs),
+        "detect_confusion": lambda: gen_detect_confusion(docs),
         "multilang_sections": lambda: gen_multilang(docs),
     }
     only = set(sys.argv[3:]) if len(sys.argv) > 3 else None

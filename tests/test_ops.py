@@ -1052,3 +1052,50 @@ def test_semdedup_planted_duplicates(spark):
     # with tau=0.99 nothing else collides
     others = out[~out.vec_id.isin(list(range(5)) + [100 + i for i in range(5)])]
     assert others.keep.all()
+
+
+def test_quality_flag_counts_adversarial_inputs(spark):
+    """Adversarial turns trip each heuristic flag and surface in the
+    drop-attribution rollup (the driver corpus is clean, so per-flag
+    behavior is pinned here): short text, symbol spam, repeated word,
+    char runs; plus clean turns under _clean."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from lingua_spark.engine.pipeline import assess_turns, with_stable_order
+
+    rows = [
+        ("c0", 0, "user", "hi", "", "2025-01-01 00:00:00"),  # too_short
+        ("c0", 1, "user", "@@@@ #### $$$$ %%%% &&&&", "", "2025-01-01 00:00:01"),
+        ("c0", 2, "user", "spam spam spam spam spam spam spam spam", "",
+         "2025-01-01 00:00:02"),  # word_repetition
+        ("c0", 3, "user", "aaaaaaaaaaaaaaaaaaaa and more text here", "",
+         "2025-01-01 00:00:03"),  # char_run
+        ("c0", 4, "user",
+         "the quick brown fox jumps over the lazy dog near the river", "",
+         "2025-01-01 00:00:04"),  # clean
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    assessed = assess_turns(spark, with_stable_order(df), None, 2)
+    flags = (
+        assessed.select(
+            "turn_idx",
+            F.explode(
+                F.when(
+                    F.size("quality_flags") == 0, F.array(F.lit("_clean"))
+                ).otherwise(F.col("quality_flags"))
+            ).alias("flag"),
+        )
+        .toPandas()
+    )
+    by_turn = flags.groupby("turn_idx").flag.apply(set)
+    assert "too_short" in by_turn[0]
+    assert {"symbol_ratio", "letter_ratio"} & by_turn[1]
+    assert "word_repetition" in by_turn[2]
+    assert "char_run" in by_turn[3]
+    assert by_turn[4] == {"_clean"}
