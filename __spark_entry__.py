@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 100x-scale shape: one shingle explode, cached, same hash joins);
     # value-identical to the SQL form, shares its DuckDB oracle
     out["dedup_jaccard_pairs_df"] = jaccard_pairs_df
+    # persisted-fingerprint twin of dedup_fingerprint_pairs (one winnow
+    # evaluation instead of CTE-inlined re-computation; shared oracle)
+    from lingua_spark.ops.queries import fingerprint_pairs_df
+
+    out["dedup_fingerprint_pairs_df"] = fingerprint_pairs_df
     # union-find over the LSH pair graph -> per-doc cluster rep + keep flag
     # (iterative label propagation in Spark; recursive-CTE closure oracle)
     out["dedup_minhash_cc"] = dedup_minhash_cc
@@ -108,8 +113,9 @@ def oracle_sql() -> dict[str, str]:
     # and frozen as Parquet — DuckDB reads the fixture.
     for name in FIXTURE_ORACLE_QUERIES:
         out[name] = fixture_oracle_sql(name)
-    # the DF variant computes the same result as the SQL form
+    # the DF variants compute the same results as the SQL forms
     out["dedup_jaccard_pairs_df"] = out["dedup_jaccard_pairs"]
+    out["dedup_fingerprint_pairs_df"] = out["dedup_fingerprint_pairs"]
     # independent-algorithm oracle: recursive-CTE transitive closure vs
     # the Spark side's iterative label propagation
     from lingua_spark.ops.queries import (

@@ -54,6 +54,8 @@ DF_QUERIES = [
     "dedup_minhash_cc",
     "corpus_select_final",
     "conv_stats_salted",
+    "dedup_semantic",
+    "dedup_fingerprint_pairs_df",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -107,14 +109,18 @@ def _bench_df_queries(spark) -> dict[str, float]:
         conv_stats_salted,
         corpus_select_final,
         dedup_minhash_cc,
+        fingerprint_pairs_df,
         jaccard_pairs_df,
     )
+    from lingua_spark.ops.similarity import dedup_semantic
 
     fns = {
         "dedup_jaccard_pairs_df": jaccard_pairs_df,
         "dedup_minhash_cc": dedup_minhash_cc,
         "corpus_select_final": corpus_select_final,
         "conv_stats_salted": conv_stats_salted,
+        "dedup_semantic": dedup_semantic,
+        "dedup_fingerprint_pairs_df": fingerprint_pairs_df,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

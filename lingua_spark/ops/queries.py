@@ -475,6 +475,79 @@ def jaccard_pairs_df(
         sh.unpersist(blocking=False)
 
 
+def fingerprint_pairs_df(
+    spark: SparkSession, sf_dir: str, release_cache: bool = True
+) -> DataFrame:
+    """Persisted-fingerprint variant of ``dedup_fingerprint_pairs`` — the
+    100x-scale shape, same fix as ``jaccard_pairs_df``. The SQL form's
+    winnow CTE (per-position hash explode + ROWS-window min + DISTINCT)
+    is referenced by sizes, rare-index and both join sides, and Spark's
+    CTE inlining re-evaluates it each time: the physical plan carries 12
+    parquet scans. Persisting the fingerprint table ONCE
+    (MEMORY_AND_DISK) leaves a single winnow evaluation; the joins are
+    unchanged, output is value-identical, and the DuckDB oracle is
+    shared.
+
+    Honest local A/B (sf0.1, local[32], warm): SQL form 12.8 s, this
+    variant 16.0 s — on one box the 4 parallel re-evaluations of a
+    cheap-per-row subtree beat cache write+read, exactly as measured for
+    jaccard (BENCH/BASELINE.md). The variant exists for the 100x shape:
+    at cluster scale the winnow subtree is a full corpus scan whose
+    recompute cost dwarfs cache IO, and re-evaluating it 4x is 4 extra
+    passes over 100 TB. Cache hygiene follows jaccard_pairs_df:
+    release_cache=True (default) eagerly materializes via localCheckpoint
+    and releases the fingerprint cache before returning."""
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    fp = spark.sql(_fingerprint_winnow("spark")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("fingerprint")
+    )
+    rfp = fp.join(rare, on="fingerprint")
+    pairs = (
+        rfp.alias("a")
+        .join(
+            rfp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common_fp"))
+        .filter(F.col("common_fp") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_fp",
+            F.round(
+                F.col("common_fp").cast("double")
+                / F.least(F.col("na"), F.col("nb")),
+                4,
+            ).alias("overlap"),
+        )
+    )
+    if not release_cache:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist(blocking=False)
+
+
 def _cosine_topk(dialect: str, n_query: int = 8, topk: int = 3) -> str:
     """Brute-force cosine top-k (the ANN baseline). Spark: broadcast the
     tiny query side against the full embedding table; dot/norms via

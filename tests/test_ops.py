@@ -1099,3 +1099,51 @@ def test_quality_flag_counts_adversarial_inputs(spark):
     assert "word_repetition" in by_turn[2]
     assert "char_run" in by_turn[3]
     assert by_turn[4] == {"_clean"}
+
+
+def test_fingerprint_df_matches_sql_and_single_winnow(spark):
+    """fingerprint_pairs_df == the SQL form value for value, and its
+    lazy plan evaluates the winnow subtree exactly ONCE (one Window
+    node / one documents scan — the SQL form carries 12 scans via CTE
+    inlining)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        fingerprint_pairs_df,
+        register_views,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    register_views(spark, sfd)
+    want = (
+        spark.sql(SQL_QUERIES["dedup_fingerprint_pairs"][0])
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    lazy = fingerprint_pairs_df(spark, sfd, release_cache=False)
+    got = (
+        lazy.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    # all four fingerprint consumers (sizes, rare index, both join
+    # sides) must read the CACHE — the plan printer re-prints the cached
+    # plan under every InMemoryTableScan, so counting Window/Scan nodes
+    # is meaningless; an inlined re-evaluation would surface as a
+    # FileScan+Window chain NOT wrapped in an InMemoryRelation
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    spark.catalog.clearCache()
+    got2 = (
+        fingerprint_pairs_df(spark, sfd)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got2.equals(got)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "fingerprint_pairs_df leaked a DataFrame cache"
+    )
