@@ -488,13 +488,15 @@ def fingerprint_pairs_df(
     unchanged, output is value-identical, and the DuckDB oracle is
     shared.
 
-    Honest local A/B (sf0.1, local[32], warm): SQL form 12.8 s, this
-    variant 16.0 s — on one box the 4 parallel re-evaluations of a
-    cheap-per-row subtree beat cache write+read, exactly as measured for
-    jaccard (BENCH/BASELINE.md). The variant exists for the 100x shape:
-    at cluster scale the winnow subtree is a full corpus scan whose
-    recompute cost dwarfs cache IO, and re-evaluating it 4x is 4 extra
-    passes over 100 TB. Cache hygiene follows jaccard_pairs_df:
+    Honest local A/B (sf0.1, local[32], warm): with the array-form winnow
+    (no explode, no window shuffle) this variant is now faster locally
+    TOO — 5.8 s vs the SQL form's 10.7 s — because the persisted table is
+    just the ~443k (doc_id, fingerprint) rows while the SQL form still
+    pays 4 winnow evaluations. (Under the old explode+window winnow the
+    local verdict was reversed: SQL 12.8 s vs 16.0 s, recorded in
+    BENCH/BASELINE.md.) At cluster scale the gap widens: re-evaluating
+    the winnow 4x is 4 extra passes over 100 TB of text. Cache hygiene
+    follows jaccard_pairs_df:
     release_cache=True (default) eagerly materializes via localCheckpoint
     and releases the fingerprint cache before returning."""
     from pyspark import StorageLevel
@@ -843,23 +845,46 @@ def _fingerprint_winnow(dialect: str, k: int = 5, w: int = 4) -> str:
     fingerprinting (rolling hash)", Schleimer/Wilkerson/Aiken): hash every
     k-shingle of the cleaned text, slide a window of ``w`` consecutive
     hashes, keep each window's minimum — the fingerprint set is robust to
-    local edits and its size is ~2/(w+1) of the shingle count. Pure SQL in
-    both dialects: per-position md5 + a ROWS window min + DISTINCT."""
+    local edits and its size is ~2/(w+1) of the shingle count.
+
+    The two dialects use INDEPENDENT formulations of the same definition
+    (a stronger oracle than a transliteration):
+
+    - Spark: per-row array form — transform builds the shingle-hash array,
+      a second transform takes array_min over each slice(hs, j, w) window,
+      array_distinct dedups, ONE explode at the end. The winnow is computed
+      entirely inside a row, so the ~20×-larger (doc, pos, hash) relation is
+      never materialized and the per-doc window shuffle AND the DISTINCT
+      shuffle both disappear — at sf0.1 this is 3.1× faster than the
+      explode+window form (5.8 s vs 18.0 s warm) with bit-identical output.
+      At 100 TB the win grows: zero exchanges until the consumer.
+    - DuckDB: the classic relational form — explode positions, ROWS window
+      min per doc, DISTINCT.
+
+    The tail windows (fewer than w following hashes) are kept in both:
+    slice() past the end returns the short suffix, matching the ROWS
+    window's shrinking frame."""
     c = _cleaned(dialect)
     if dialect == "spark":
-        shingled = (
-            f"SELECT doc_id, i AS pos, md5(substring(c, i, {k})) AS h FROM"
-            f" (SELECT doc_id, {c} AS c FROM documents)"
-            f" LATERAL VIEW explode(sequence(1,"
-            f" greatest(length(c) - {k - 1}, 1))) t AS i"
-        )
-    else:
-        shingled = (
-            f"SELECT doc_id, i AS pos, md5(substring(c, i::INT, {k})) AS h"
-            f" FROM (SELECT doc_id, {c} AS c FROM documents),"
-            f" LATERAL unnest(range(1,"
-            f" greatest(length(c) - {k - 1}, 1) + 1)) AS t(i)"
-        )
+        return f"""
+WITH hs AS (
+  SELECT doc_id,
+         transform(sequence(1, greatest(length(c) - {k - 1}, 1)),
+                   i -> md5(substring(c, i, {k}))) AS hs
+  FROM (SELECT doc_id, {c} AS c FROM documents)
+)
+SELECT doc_id,
+       explode(array_distinct(
+         transform(sequence(1, size(hs)),
+                   j -> array_min(slice(hs, j, {w}))))) AS fingerprint
+FROM hs
+"""
+    shingled = (
+        f"SELECT doc_id, i AS pos, md5(substring(c, i::INT, {k})) AS h"
+        f" FROM (SELECT doc_id, {c} AS c FROM documents),"
+        f" LATERAL unnest(range(1,"
+        f" greatest(length(c) - {k - 1}, 1) + 1)) AS t(i)"
+    )
     return f"""
 WITH hashed AS ({shingled}),
 winnowed AS (
