@@ -97,6 +97,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.queries import conv_stats_salted
 
     out["conv_stats_salted"] = conv_stats_salted
+    # token-budget prefix selection: two-phase histogram threshold in
+    # Spark, graded against the naive global-window oracle
+    from lingua_spark.ops.budget import token_budget_select
+
+    out["corpus_token_budget"] = token_budget_select
+    # incoming-batch vs standing-corpus exact dedup behind a broadcast
+    # Bloom prefilter; the exact-confirm join makes the output oracle-exact
+    from lingua_spark.ops.incremental import dedup_incremental_bloom
+
+    out["dedup_incremental"] = dedup_incremental_bloom
     return out
 
 
@@ -128,4 +138,10 @@ def oracle_sql() -> dict[str, str]:
     from lingua_spark.ops.queries import conv_stats_oracle_sql
 
     out["conv_stats_salted"] = conv_stats_oracle_sql()
+    from lingua_spark.ops.budget import token_budget_oracle_sql
+
+    out["corpus_token_budget"] = token_budget_oracle_sql()
+    from lingua_spark.ops.incremental import incremental_oracle_sql
+
+    out["dedup_incremental"] = incremental_oracle_sql()
     return out

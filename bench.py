@@ -56,6 +56,8 @@ DF_QUERIES = [
     "conv_stats_salted",
     "dedup_semantic",
     "dedup_fingerprint_pairs_df",
+    "corpus_token_budget",
+    "dedup_incremental",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -112,6 +114,8 @@ def _bench_df_queries(spark) -> dict[str, float]:
         fingerprint_pairs_df,
         jaccard_pairs_df,
     )
+    from lingua_spark.ops.budget import token_budget_select
+    from lingua_spark.ops.incremental import dedup_incremental_bloom
     from lingua_spark.ops.similarity import dedup_semantic
 
     fns = {
@@ -121,6 +125,8 @@ def _bench_df_queries(spark) -> dict[str, float]:
         "conv_stats_salted": conv_stats_salted,
         "dedup_semantic": dedup_semantic,
         "dedup_fingerprint_pairs_df": fingerprint_pairs_df,
+        "corpus_token_budget": token_budget_select,
+        "dedup_incremental": dedup_incremental_bloom,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

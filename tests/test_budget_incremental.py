@@ -1,0 +1,132 @@
+"""Token-budget sampling and Bloom-prefiltered incremental dedup.
+
+Both operators are graded by the driver's DuckDB oracle at sf0.01; these
+tests pin the parts the oracle can't see — the two-phase threshold
+decomposition against a local full-sort greedy, budget edge cases, and
+that the Bloom prefilter actually filters (it is allowed to be
+semantics-free, not allowed to be a no-op scan)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _local_greedy(scored_pdf, frac):
+    """Reference: full sort by (score DESC, doc_id), prefix under budget."""
+    df = scored_pdf.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    budget = int(df["tokens"].sum() * frac)
+    cum = df["tokens"].cumsum()
+    return set(df.loc[cum <= budget, "doc_id"])
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    from lingua_spark.ops.budget import _scored_sql
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    return spark.sql(_scored_sql("spark")).toPandas()
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.4, 0.75])
+def test_token_budget_matches_local_greedy(spark, scored, frac):
+    """The histogram-threshold + boundary-bucket decomposition selects
+    EXACTLY the local full-sort greedy prefix, at cuts that land in
+    different buckets."""
+    from lingua_spark.ops.budget import token_budget_select
+
+    got = {
+        r.doc_id
+        for r in token_budget_select(spark, SF, budget_frac=frac).collect()
+    }
+    want = _local_greedy(scored, frac)
+    assert got == want
+    assert 0 < len(got) < len(scored)  # the cut is real, not degenerate
+
+
+def test_token_budget_full_budget_selects_everything(spark, scored):
+    from lingua_spark.ops.budget import token_budget_select
+
+    got = token_budget_select(spark, SF, budget_frac=1.0)
+    assert got.count() == len(scored)
+
+
+def test_token_budget_zero_budget_selects_nothing(spark):
+    from lingua_spark.ops.budget import token_budget_select
+
+    assert token_budget_select(spark, SF, budget_frac=0.0).count() == 0
+
+
+def test_incremental_bloom_matches_plain_join(spark):
+    """End-to-end (doc_id, is_dup, dup_of) equals the plain min-match
+    left join computed locally on the same cleaned text."""
+    from lingua_spark.ops.incremental import _halves, dedup_incremental_bloom
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    corpus, incoming = _halves(spark.table("documents"))
+    cp = corpus.select("doc_id", "c").toPandas()
+    ip = incoming.select("doc_id", "c").toPandas()
+    best = cp.groupby("c")["doc_id"].min()
+    want = {
+        int(r.doc_id): best.get(r.c) for r in ip.itertuples(index=False)
+    }
+
+    got = dedup_incremental_bloom(spark, SF).collect()
+    assert len(got) == len(ip)
+    for r in got:
+        exp = want[r.doc_id]
+        if exp is None:
+            assert not r.is_dup and r.dup_of is None
+        else:
+            assert r.is_dup and r.dup_of == int(exp)
+
+
+def test_incremental_bloom_prefilter_actually_filters(spark):
+    """The Bloom pass must drop most non-matching corpus rows before the
+    confirm join (no false negatives is the oracle's job; this pins the
+    false-POSITIVE rate low enough that the prefilter pays for itself)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lingua_spark.ops.incremental import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_bitmap,
+        _halves,
+    )
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    corpus, incoming = _halves(spark.table("documents"))
+    bm = _bloom_bitmap(incoming)
+
+    probes = corpus.select(
+        "doc_id",
+        *[
+            F.pmod(F.xxhash64("h", F.lit(j)), F.lit(BLOOM_BITS)).alias(
+                f"p{j}"
+            )
+            for j in range(BLOOM_K)
+        ],
+    ).toPandas()
+    ok = np.ones(len(probes), dtype=bool)
+    for j in range(BLOOM_K):
+        v = probes[f"p{j}"].to_numpy(dtype=np.int64)
+        ok &= (bm[v >> 6] >> (v & 63).astype(np.uint64)) & np.uint64(
+            1
+        ) != 0
+    n_corpus, n_survive = len(probes), int(ok.sum())
+
+    # true matches (lower bound on survivors: Bloom has no false negatives)
+    cp = corpus.select("c").toPandas()["c"]
+    inc_texts = set(incoming.select("c").toPandas()["c"])
+    n_true = int(cp.isin(inc_texts).sum())
+
+    assert n_survive >= n_true
+    # at a 1:9 batch:corpus ratio with m=2^20, k=4 the FP rate is well
+    # under 1%; require the prefilter to kill at least half the corpus
+    assert n_survive - n_true <= max(10, n_corpus // 100)
+    assert n_survive < n_corpus // 2
