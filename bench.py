@@ -43,6 +43,8 @@ HEADLINE_QUERIES = [
     "gopher_quality",
     "decontaminate_ngram",
     "conv_dedup_exact",
+    "sample_stratified_lang",
+    "sample_temperature_lang",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

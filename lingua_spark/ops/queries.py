@@ -1120,6 +1120,102 @@ FROM canon GROUP BY conv_key
 """
 
 
+def _sample_uniform_hex(dialect: str, salt: str) -> str:
+    """Deterministic per-doc uniform in [0,1) as an 8-hex-char md5 lane.
+
+    Lexicographic comparison over fixed-length lowercase hex equals
+    numeric comparison (same trick as the minhash lanes), so a keep
+    decision is ``lane < threshold_hex`` with no int conversion — both
+    dialects produce byte-identical md5 hex."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"substr(md5(CAST(doc_id AS {cast}) || ':{salt}'), 1, 8)"
+
+
+def _rate_threshold_hex(dialect: str, rate: str) -> str:
+    """Hex threshold string for keep-probability ``rate`` (a DOUBLE
+    expression in [0,1)): floor(rate * 2^32) as 8 lowercase hex chars.
+    Caller must handle rate >= 1 separately (9 hex chars would be
+    silently truncated by lpad)."""
+    to_hex = "hex" if dialect == "spark" else "to_hex"
+    return (
+        f"lpad(lower({to_hex}(CAST(floor({rate} * 4294967296.0)"
+        " AS BIGINT))), 8, '0')"
+    )
+
+
+def _sample_stratified_lang(dialect: str, cap: int = 100) -> str:
+    """Language-balanced corpus sampling: per-language keep rate
+    ``least(1, cap / n_lang)`` applied as a DETERMINISTIC per-doc coin
+    (md5-lane uniform vs rate threshold) — the standard way to rebalance
+    a multilingual training corpus toward a per-language document budget
+    without a global sort/limit. Every doc keeps its decision under
+    re-runs, retries, and re-partitioning (the coin is a pure function
+    of doc_id), which is what makes the sample reproducible AND
+    resumable at 100 TB — a rand()-based sample is neither. Kept counts
+    are binomial around the cap, not exact: an exact top-k per language
+    would need a per-language global sort (one total-order shuffle per
+    key); the coin needs zero extra shuffles.
+
+    Scale shape: the per-language count table is #langs rows — Spark
+    broadcasts it into the probe side (no shuffle of documents at all);
+    the hot 'en' partition never concentrates on one reducer because
+    nothing partitions by lang."""
+    u = _sample_uniform_hex(dialect, "strat")
+    rate = f"least(1.0, CAST({cap} AS DOUBLE) / lc.n_lang)"
+    thr = _rate_threshold_hex(dialect, rate)
+    return f"""
+WITH lc AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+)
+SELECT /*+ BROADCAST(lc) */ d.doc_id, d.lang,
+       CAST(lc.n_lang AS BIGINT) AS n_lang,
+       round({rate}, 6) AS sample_rate,
+       CAST(CASE WHEN lc.n_lang <= {cap} THEN TRUE
+                 ELSE {u} < {thr} END AS BOOLEAN) AS keep_sampled
+FROM documents d JOIN lc ON d.lang = lc.lang
+"""
+
+
+def _sample_temperature_lang(dialect: str, tau: float = 0.3) -> str:
+    """Temperature-based language mixing (mT5 / XLM-R style, Xue et al.
+    2021 §3.1, public paper): languages are sampled with probability
+    proportional to p_l^tau (p_l = language share of the corpus), i.e. a
+    per-doc keep rate proportional to p_l^(tau-1), normalized so the
+    SMALLEST language keeps rate 1.0 — high-resource languages are
+    downsampled toward the flattened distribution, low-resource ones
+    kept whole. tau=1 is proportional (no-op), tau=0 is
+    uniform-over-languages. The corpus total cancels in the
+    normalization, so the weight is pow(n_l, tau-1) directly. Same
+    deterministic md5-lane coin as ``sample_stratified_lang`` (different
+    salt), so the two samplers compose independently.
+
+    Scale shape: language stats collapse to #langs rows; the max is a
+    window over that tiny aggregate (not over documents); the doc-side
+    join is a broadcast. No shuffle of the corpus."""
+    u = _sample_uniform_hex(dialect, "temp")
+    rate = "lr.rate"
+    thr = _rate_threshold_hex(dialect, rate)
+    return f"""
+WITH lc AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+),
+lw AS (
+  SELECT lang, n_lang,
+         pow(CAST(n_lang AS DOUBLE), {tau} - 1.0) AS w
+  FROM lc
+),
+lr AS (
+  SELECT lang, n_lang, w / max(w) OVER () AS rate FROM lw
+)
+SELECT /*+ BROADCAST(lr) */ d.doc_id, d.lang,
+       CAST(lr.n_lang AS BIGINT) AS n_lang,
+       round(lr.rate, 6) AS sample_rate,
+       CAST(CASE WHEN lr.rate >= 1.0 THEN TRUE
+                 ELSE {u} < {thr} END AS BOOLEAN) AS keep_sampled
+FROM documents d JOIN lr ON d.lang = lr.lang
+"""
+
+
 SQL_QUERIES["token_count_bpe"] = (
     _token_count_bpe("spark"),
     _token_count_bpe("duckdb"),
@@ -1147,6 +1243,14 @@ SQL_QUERIES["dedup_fingerprint_pairs"] = (
 SQL_QUERIES["doc_fingerprint_winnow"] = (
     _fingerprint_winnow("spark"),
     _fingerprint_winnow("duckdb"),
+)
+SQL_QUERIES["sample_stratified_lang"] = (
+    _sample_stratified_lang("spark"),
+    _sample_stratified_lang("duckdb"),
+)
+SQL_QUERIES["sample_temperature_lang"] = (
+    _sample_temperature_lang("spark"),
+    _sample_temperature_lang("duckdb"),
 )
 
 TABLES = [

@@ -1147,3 +1147,72 @@ def test_fingerprint_df_matches_sql_and_single_winnow(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "fingerprint_pairs_df leaked a DataFrame cache"
     )
+
+
+def _md5_lane_keep(doc_id: int, salt: str, rate: float) -> bool:
+    """Independent pure-Python model of the samplers' deterministic coin:
+    keep iff the 8-hex md5 lane is below floor(rate * 2^32) in hex."""
+    import hashlib
+    import math
+
+    if rate >= 1.0:
+        return True
+    lane = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8]
+    return lane < format(math.floor(rate * 4294967296.0), "08x")
+
+
+def test_sample_stratified_lang_matches_python_model(spark):
+    """sample_stratified_lang: rates are least(1, cap/n_lang) and every
+    per-doc keep decision equals the pure-Python md5-lane coin — i.e.
+    the sample is a deterministic function of doc_id, never of
+    partitioning, retries, or rand()."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.01")
+    s = spark.sql(SQL_QUERIES["sample_stratified_lang"][0]).toPandas()
+    docs = spark.sql("SELECT doc_id, lang FROM documents").toPandas()
+    assert len(s) == len(docs)
+    counts = docs.lang.value_counts()
+    for _, r in s.iterrows():
+        n = counts[r.lang]
+        rate = min(1.0, 100.0 / n)
+        assert r.n_lang == n
+        assert abs(r.sample_rate - round(rate, 6)) < 1e-9
+        assert bool(r.keep_sampled) == _md5_lane_keep(
+            int(r.doc_id), "strat", rate
+        ), (r.doc_id, r.lang)
+    # languages under the cap are kept whole
+    small = s[s.n_lang <= 100]
+    assert small.keep_sampled.all()
+    # the downsampled language lands within 5 sigma of its binomial mean
+    big = s[s.n_lang > 100]
+    assert len(big) > 0, "fixture should have a language over the cap"
+    for lang, grp in big.groupby("lang"):
+        n, p = len(grp), grp.sample_rate.iloc[0]
+        mean, sigma = n * p, (n * p * (1 - p)) ** 0.5
+        assert abs(grp.keep_sampled.sum() - mean) <= 5 * sigma
+
+
+def test_sample_temperature_lang_flattens_distribution(spark):
+    """sample_temperature_lang: the smallest language keeps rate 1.0,
+    rates decrease as language size grows (tau<1 flattens), and keep
+    decisions match the pure-Python coin with rate n^(tau-1)/max."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.01")
+    s = spark.sql(SQL_QUERIES["sample_temperature_lang"][0]).toPandas()
+    per_lang = (
+        s.groupby("lang")
+        .agg(n=("n_lang", "first"), rate=("sample_rate", "first"))
+        .sort_values("n")
+    )
+    assert per_lang.rate.iloc[0] == 1.0
+    assert (per_lang.rate.diff().dropna() <= 1e-12).all(), (
+        "rate must be non-increasing in language size"
+    )
+    wmax = per_lang.n.iloc[0] ** (0.3 - 1.0)
+    for _, r in s.iterrows():
+        rate = (r.n_lang ** (0.3 - 1.0)) / wmax
+        assert bool(r.keep_sampled) == _md5_lane_keep(
+            int(r.doc_id), "temp", rate
+        ), (r.doc_id, r.lang)
