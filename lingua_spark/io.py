@@ -19,8 +19,24 @@ both show up as PushedFilters in .explain.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# the input_hint schema, as a StructType: JSONL reads MUST pass this
+# explicitly — schema inference on json is a full extra pass over the
+# dataset before the real read (at 100 TB, twice the scan cost, and a
+# single odd row can flip a column type under the whole job)
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
 
 
 def _validate(df: DataFrame, source: str) -> DataFrame:
@@ -38,6 +54,7 @@ def read_transcripts(
     source: str,
     format: str = "auto",
     where: str | None = None,
+    json_mode: str = "FAILFAST",
 ) -> DataFrame:
     """Load a transcript table.
 
@@ -45,15 +62,34 @@ def read_transcripts(
       - "iceberg": ``source`` is a catalog table name (``cat.db.tbl``) or
         a path; requires the Iceberg Spark runtime on the classpath.
       - "parquet": ``source`` is a path.
-      - "auto": dotted non-path names -> iceberg table, else parquet path.
+      - "jsonl": ``source`` is a path of newline-delimited JSON (the
+        interchange format transcripts usually arrive in); read with the
+        explicit ``TRANSCRIPT_SCHEMA`` (no inference pass) in FAILFAST
+        mode — a malformed line fails the job loudly instead of
+        silently nulling a column. Pass ``json_mode="PERMISSIVE"`` to
+        tolerate bad lines (they surface as all-null rows) when
+        quarantining is handled downstream.
+      - "auto": dotted non-path names -> iceberg table; ``.jsonl`` /
+        ``.json`` paths -> jsonl; else parquet path.
     ``where`` is applied immediately so predicate pushdown reaches the
-    source scan (partition/manifest pruning at scale).
+    source scan (partition/manifest pruning at scale; for jsonl only
+    non-parsed pruning such as file listing applies — convert to
+    parquet/iceberg before iterating on 100 TB).
     """
     if format == "auto":
-        format = (
-            "iceberg" if ("." in source and "/" not in source) else "parquet"
+        if "." in source and "/" not in source:
+            format = "iceberg"
+        elif source.rstrip("/").endswith((".jsonl", ".json")):
+            format = "jsonl"
+        else:
+            format = "parquet"
+    if format == "jsonl":
+        df = (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("mode", json_mode)
+            .json(source)
         )
-    if format == "iceberg":
+    elif format == "iceberg":
         try:
             if "/" in source:
                 df = spark.read.format("iceberg").load(source)
@@ -73,6 +109,17 @@ def read_transcripts(
     if where:
         df = df.filter(where)
     return df
+
+
+def write_transcripts_jsonl(df: DataFrame, dest: str) -> None:
+    """Export transcripts as newline-delimited JSON (the interchange
+    format for handing data to non-Spark consumers). Timestamps are
+    serialized in Spark's default ISO-8601 form, which
+    ``read_transcripts(..., format="jsonl")`` round-trips through
+    ``TRANSCRIPT_SCHEMA``. JSONL is ~3-5x larger than parquet and has
+    no column pruning or row-group stats — an exchange format, not a
+    working format; keep the working copies in parquet/iceberg."""
+    df.select(*TRANSCRIPT_COLUMNS).write.mode("overwrite").json(dest)
 
 
 def write_assessments(

@@ -46,6 +46,37 @@ def test_read_transcripts_iceberg_degrades_clearly(spark):
         read_transcripts(spark, "cat.db.transcripts", "iceberg")
 
 
+def test_jsonl_roundtrip_and_failfast(spark, tmp_path):
+    """JSONL export -> import round-trips every column (including the
+    timestamp) through the explicit TRANSCRIPT_SCHEMA, with no
+    inference pass; a malformed line fails loudly in FAILFAST mode and
+    surfaces as an all-null row under PERMISSIVE."""
+    from lingua_spark.io import write_transcripts_jsonl
+
+    src, pdf = _write_input(spark, tmp_path, n=90)
+    df = read_transcripts(spark, str(src))
+    out = tmp_path / "export.jsonl"
+    write_transcripts_jsonl(df, str(out))
+    back = read_transcripts(spark, str(out), "auto")  # auto -> jsonl
+    assert back.schema == df.schema  # explicit schema, not inferred
+    key = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    want = df.toPandas().sort_values(key[:2]).reset_index(drop=True)[key]
+    got = back.toPandas().sort_values(key[:2]).reset_index(drop=True)[key]
+    assert got.equals(want)
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2026-01-01T00:00:00Z"}\n'
+        "this is not json\n"
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_transcripts(spark, str(bad), "jsonl").collect()
+    perm = read_transcripts(spark, str(bad), "jsonl", json_mode="PERMISSIVE")
+    rows = perm.collect()
+    assert len(rows) == 2 and sum(r.conv_id is None for r in rows) == 1
+
+
 def test_write_assessments_roundtrip(spark, tmp_path):
     from lingua_spark.engine.pipeline import assess_turns, with_stable_order
 
