@@ -45,6 +45,7 @@ HEADLINE_QUERIES = [
     "conv_dedup_exact",
     "sample_stratified_lang",
     "sample_temperature_lang",
+    "dedup_substring_spans",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -1216,6 +1216,84 @@ FROM documents d JOIN lr ON d.lang = lr.lang
 """
 
 
+def _dedup_substring_spans(dialect: str, k: int = 5) -> str:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public
+    paper): find every {k}-token substring that occurs MORE THAN ONCE in
+    the whole corpus (including twice within one document), then merge
+    each document's duplicated shingle positions into maximal token
+    spans ``(doc_id, span_start, span_end, span_tokens)`` — the regions
+    an ExactSubstr pass would cut, with positions surfaced so the cut is
+    attributable. The reference formulation builds a suffix array; the
+    relational formulation here is the shingle-occurrence equivalent at
+    shingle granularity (exact, no hashing — groups on the shingle text
+    itself, so there are no collision false-positives).
+
+    Scale shape: ONE explode of token positions (the relation is
+    evaluated once — duplication is counted with ``count(*) OVER
+    (PARTITION BY sh)`` instead of a groupBy + self-join, which would
+    re-evaluate the explode subtree or force a persist), one exchange on
+    the shingle, then one per-document window pair (lag + running sum,
+    same exchange) for the gaps-and-islands merge. Skew note: the window
+    co-locates all occurrences of one exact shingle, so a
+    boilerplate shingle repeated 10^9 times makes a hot partition; at
+    that point cut ultra-frequent shingles first (they are stopword-like
+    boilerplate by definition — same operating decision as
+    LSH_BUCKET_CAP) or switch the count to the two-pass partial-agg
+    form over a persisted position table (the
+    ``fingerprint_pairs_df`` pattern).
+
+    Span merge: intervals are all length {k} and sorted by start, so two
+    spans merge iff ``pos - lag(pos) <= k`` (overlap or token-adjacent);
+    island ids are the running sum of break flags, and each island
+    reports ``[min(pos), max(pos)+k-1]``."""
+    toks = _tokens(dialect)
+    if dialect == "spark":
+        pos_rel = f"""
+  SELECT doc_id, i AS pos, array_join(slice(t, i, {k}), ' ') AS sh
+  FROM (SELECT doc_id, t
+        FROM (SELECT doc_id, {toks} AS t FROM documents)
+        WHERE size(t) >= {k})
+  LATERAL VIEW explode(sequence(1, size(t) - {k} + 1)) s AS i"""
+    else:
+        pos_rel = f"""
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(t, i::INT, i::INT + {k} - 1), ' ') AS sh
+  FROM (SELECT doc_id, t
+        FROM (SELECT doc_id, {toks} AS t FROM documents)
+        WHERE len(t) >= {k}),
+  LATERAL unnest(range(1, len(t) - {k} + 2)) AS s(i)"""
+    return f"""
+WITH pos_rel AS ({pos_rel}),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS occ
+    FROM pos_rel
+  ) o WHERE occ >= 2
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {k}
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, g
+"""
+
+
 SQL_QUERIES["token_count_bpe"] = (
     _token_count_bpe("spark"),
     _token_count_bpe("duckdb"),
@@ -1251,6 +1329,10 @@ SQL_QUERIES["sample_stratified_lang"] = (
 SQL_QUERIES["sample_temperature_lang"] = (
     _sample_temperature_lang("spark"),
     _sample_temperature_lang("duckdb"),
+)
+SQL_QUERIES["dedup_substring_spans"] = (
+    _dedup_substring_spans("spark"),
+    _dedup_substring_spans("duckdb"),
 )
 
 TABLES = [

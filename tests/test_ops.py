@@ -939,6 +939,85 @@ def test_decontaminate_flags_only_train_docs(spark):
         assert len(hits) == r.n_contaminated_ngrams
 
 
+def test_substring_spans_island_merge_semantics(spark):
+    """dedup_substring_spans on a hand-built corpus: pins corpus-wide
+    duplication counting (cross-doc AND within-doc), the <=k
+    adjacency-merge rule, the two-island split, and the short-doc
+    exclusion — against spans worked out by hand."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        (1, "a b c d e x y z w v"),          # "a b c d e" @1 (dup'd)
+        (2, "q q q a b c d e r r"),          # same shingle @4
+        (3, "a b c d e a b c d e"),          # @1 and @6: gap 5 -> merge
+        (4, "a b c d e f g h i j k a b c d e"),  # @1 and @12: gap 11 -> split
+        (5, "a b c"),                        # < k tokens -> no shingles
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["dedup_substring_spans"][0])
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (1, 1, 5, 5),
+        (2, 4, 8, 5),
+        (3, 1, 10, 10),
+        (4, 1, 5, 5),
+        (4, 12, 16, 5),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_substring_spans_invariants_on_corpus(spark):
+    """On the real table: spans are >= k tokens, inside the document,
+    and per-doc islands are disjoint with at least one non-duplicated
+    token between them (else they would have merged)."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    s = (
+        spark.sql(SQL_QUERIES["dedup_substring_spans"][0])
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+    )
+    assert len(s) > 0
+    assert (s.span_tokens >= 5).all()
+    assert (s.span_tokens == s.span_end - s.span_start + 1).all()
+    assert (s.span_start >= 1).all()
+    ntok = (
+        spark.sql(
+            "SELECT doc_id, size(filter(split(lower(trim(text)), ' +'),"
+            " x -> x != '')) AS n FROM documents"
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .n
+    )
+    assert (s.span_end.values <= ntok.loc[s.doc_id].values).all()
+    prev = s.groupby("doc_id").span_end.shift()
+    gap_ok = prev.isna() | (s.span_start > prev + 1)
+    assert gap_ok.all()
+
+
+def test_substring_spans_plan_one_scan_two_exchanges(spark):
+    """Plan gate: dedup_substring_spans must read documents ONCE (the
+    window-count form — a groupBy+self-join would scan/explode twice),
+    shuffle exactly twice (shingle partition, then per-doc merge), and
+    run the explode exactly once."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql(SQL_QUERIES["dedup_substring_spans"][0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Generate explode") == 1, plan
+
+
 def test_conv_dedup_exact_partitions_convs(spark):
     """conv_dedup_exact: every conversation lands in exactly one group,
     keys are md5 hex, and keep_conv_id is a member of the group."""
