@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "sample_stratified_lang",
     "sample_temperature_lang",
     "dedup_substring_spans",
+    "dedup_substring_trim",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -1247,6 +1247,20 @@ def _dedup_substring_spans(dialect: str, k: int = 5) -> str:
     spans merge iff ``pos - lag(pos) <= k`` (overlap or token-adjacent);
     island ids are the running sum of break flags, and each island
     reports ``[min(pos), max(pos)+k-1]``."""
+    return f"""
+WITH {_substring_span_ctes(dialect, k)}
+SELECT doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_tokens AS BIGINT) AS span_tokens
+FROM spans
+"""
+
+
+def _substring_span_ctes(dialect: str, k: int) -> str:
+    """Shared CTE chain for the ExactSubstr family: token positions →
+    corpus-wide duplicated positions → gaps-and-islands merge →
+    ``spans(doc_id, span_start, span_end, span_tokens)`` (uncast)."""
     toks = _tokens(dialect)
     if dialect == "spark":
         pos_rel = f"""
@@ -1263,8 +1277,7 @@ def _dedup_substring_spans(dialect: str, k: int = 5) -> str:
         FROM (SELECT doc_id, {toks} AS t FROM documents)
         WHERE len(t) >= {k}),
   LATERAL unnest(range(1, len(t) - {k} + 2)) AS s(i)"""
-    return f"""
-WITH pos_rel AS ({pos_rel}),
+    return f"""pos_rel AS ({pos_rel}),
 dup AS (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS occ
@@ -1284,13 +1297,68 @@ isl AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS g
   FROM marked
-)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
-       CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens
-FROM isl
-GROUP BY doc_id, g
+),
+spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {k} - 1 AS span_end,
+         max(pos) - min(pos) + {k} AS span_tokens
+  FROM isl
+  GROUP BY doc_id, g
+)"""
+
+
+def _dedup_substring_trim(dialect: str, k: int = 5) -> str:
+    """Apply the ExactSubstr duplicated spans (`_dedup_substring_spans`)
+    to the corpus: per document, emit the normalized token stream with
+    EVERY duplicated span removed, plus token accounting ``(doc_id,
+    n_tokens, dup_tokens, trimmed_text)``. This is the aggressive-trim
+    policy (all occurrences cut, not first-kept) — the spans query marks
+    both copies of a duplicate, and this operator is its executor, so
+    the two stay consistent; a first-kept policy is a keep-flag on top
+    of `dedup_exact`/`conv_dedup_exact`, which already exist.
+
+    Scale shape: the span chain is the plan-pinned single-scan form;
+    spans collapse to one array per document (documents have FEW spans —
+    bounded payload), then ONE equi-join on doc_id back to the corpus
+    and a higher-order `filter` with a positional lambda cuts the
+    tokens JVM-side — no second explode, no range join (a token-level
+    BETWEEN join would shuffle every token; the lambda does the interval
+    test inside the row). Docs without duplication pass through the LEFT
+    JOIN untouched. Output text is the normalized token stream (lowered,
+    space-collapsed) — same normalization the span positions refer to.
+    A fully-duplicated document trims to '' (coalesced: DuckDB's
+    array_to_string returns NULL on an empty list, Spark returns '')."""
+    toks = _tokens(dialect)
+    if dialect == "spark":
+        agg = "collect_list(named_struct('s', span_start, 'e', span_end))"
+        keep = (
+            "filter(b.t, (x, i) -> "
+            "NOT exists(ds.sp, p -> i + 1 >= p.s AND i + 1 <= p.e))"
+        )
+        join_arr, n = "array_join", "size"
+    else:
+        agg = "list(struct_pack(s := span_start, e := span_end))"
+        keep = (
+            "list_filter(b.t, (x, i) -> "
+            "len(list_filter(ds.sp, p -> i >= p.s AND i <= p.e)) = 0)"
+        )
+        join_arr, n = "array_to_string", "len"
+    return f"""
+WITH {_substring_span_ctes(dialect, k)},
+ds AS (
+  SELECT doc_id, {agg} AS sp, sum(span_tokens) AS dup_tokens
+  FROM spans
+  GROUP BY doc_id
+),
+base AS (SELECT doc_id, {toks} AS t FROM documents)
+SELECT b.doc_id,
+       CAST({n}(b.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ds.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       coalesce(CASE WHEN ds.doc_id IS NULL THEN {join_arr}(b.t, ' ')
+                     ELSE {join_arr}({keep}, ' ')
+                END, '') AS trimmed_text
+FROM base b LEFT JOIN ds ON b.doc_id = ds.doc_id
 """
 
 
@@ -1333,6 +1401,10 @@ SQL_QUERIES["sample_temperature_lang"] = (
 SQL_QUERIES["dedup_substring_spans"] = (
     _dedup_substring_spans("spark"),
     _dedup_substring_spans("duckdb"),
+)
+SQL_QUERIES["dedup_substring_trim"] = (
+    _dedup_substring_trim("spark"),
+    _dedup_substring_trim("duckdb"),
 )
 
 TABLES = [

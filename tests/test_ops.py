@@ -1003,6 +1003,60 @@ def test_substring_spans_invariants_on_corpus(spark):
     assert gap_ok.all()
 
 
+def test_substring_trim_applies_spans(spark):
+    """dedup_substring_trim on the hand corpus: duplicated spans are cut
+    from the normalized token stream (aggressive policy — every
+    occurrence), untouched docs pass through, a fully-duplicated doc
+    trims to '', and dup_tokens matches the spans' token accounting."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        (1, "a b c d e x y z w v"),
+        (2, "q q q a b c d e r r"),
+        (3, "a b c d e a b c d e"),
+        (4, "a b c d e f g h i j k a b c d e"),
+        (5, "a b c"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["dedup_substring_trim"][0])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = [
+        (1, 10, 5, "x y z w v"),
+        (2, 10, 5, "q q q r r"),
+        (3, 10, 10, ""),
+        (4, 16, 10, "f g h i j k"),
+        (5, 3, 0, "a b c"),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_substring_trim_consistent_with_spans_on_corpus(spark):
+    """On the real table: every doc comes back exactly once, dup_tokens
+    equals the sum of that doc's span_tokens from the spans query, and
+    the trimmed token count is n_tokens - dup_tokens."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    trim = spark.sql(SQL_QUERIES["dedup_substring_trim"][0]).toPandas()
+    spans = spark.sql(SQL_QUERIES["dedup_substring_spans"][0]).toPandas()
+    ndocs = spark.table("documents").count()
+    assert len(trim) == ndocs
+    assert trim.doc_id.is_unique
+    per_doc = spans.groupby("doc_id").span_tokens.sum()
+    t = trim.set_index("doc_id")
+    assert (
+        t.dup_tokens.subtract(per_doc, fill_value=0) == 0
+    ).all(), "dup_tokens must equal summed span_tokens"
+    kept = t.trimmed_text.map(lambda s: len(s.split()) if s else 0)
+    assert (kept == t.n_tokens - t.dup_tokens).all()
+
+
 def test_substring_spans_plan_one_scan_two_exchanges(spark):
     """Plan gate: dedup_substring_spans must read documents ONCE (the
     window-count form — a groupBy+self-join would scan/explode twice),
