@@ -47,6 +47,10 @@ HEADLINE_QUERIES = [
     "sample_temperature_lang",
     "dedup_substring_spans",
     "dedup_substring_trim",
+    "conv_role_structure",
+    "conv_truncate_tail",
+    "conv_loop_detect",
+    "turn_boilerplate",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -1362,6 +1362,229 @@ FROM base b LEFT JOIN ds ON b.doc_id = ds.doc_id
 """
 
 
+def _transcript_turns_cte(dialect: str, with_role: bool = False) -> str:
+    """Shared transcript mapping CTE ``turns(conv_id, turn_idx[, role],
+    text)`` over the documents table (conv_id = doc_id % 50, turn_idx =
+    doc_id / 50 — the same mapping as ``documents_as_transcripts`` and
+    ``_conv_dedup_exact``, so every transcript operator sees one
+    corpus).
+
+    ``with_role`` synthesizes a deterministic role column matching the
+    input_hint schema: turn parity gives the user/assistant alternation,
+    and an md5 coin (the same deterministic-lane trick as the corpus
+    samplers) overrides ~7.8% of turns to 'tool' — injecting realistic
+    structure VIOLATIONS (an isolated tool turn between parity-assigned
+    neighbours leaves two same-role turns adjacent in the non-tool
+    message sequence) so the validator downstream has genuine positives
+    to find. Both dialects produce byte-identical md5 hex, so the roles
+    agree exactly."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    role = f"""
+         CASE WHEN substr(md5(concat('role:', CAST(doc_id AS {cast}))),
+                          1, 2) < '14' THEN 'tool'
+              WHEN CAST(floor(doc_id / 50.0) AS INT) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,"""
+    return f"""turns AS (
+  SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS conv_id,
+         CAST(floor(doc_id / 50.0) AS INT) AS turn_idx,{role if with_role else ""}
+         text
+  FROM documents
+)"""
+
+
+def _conv_role_structure(dialect: str) -> str:
+    """Conversation STRUCTURE validation over the transcript mapping:
+    per conversation, role counts plus the number of alternation
+    violations in the non-tool message sequence (two consecutive
+    user/assistant messages with the SAME role once tool turns are
+    skipped), the first non-tool role, and a ``valid_structure`` verdict
+    (starts with 'user', zero violations). Structurally-broken
+    conversations are a standard drop class when preparing chat/agent
+    transcripts for training — truncated uploads, stitched logs and
+    tool-result interleaving bugs all surface here.
+
+    Scale shape: two conv_id-keyed branches — the role-count branch is
+    a straight partial/final hash aggregate, the message branch is one
+    lag window whose exchange both downstream SortAggregates reuse —
+    and the final stitch is a BROADCAST join of two conv-LEVEL (already
+    aggregated, tiny) tables, plan-verified. Column pruning reaches
+    both scans: text is never read (roles are synthesized from doc_id
+    here; with a physical role column the scans read 2 columns), so
+    only (conv_id, role) — a 4-state enum — ever shuffles."""
+    return f"""
+WITH {_transcript_turns_cte(dialect, with_role=True)},
+seq AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role
+  FROM turns WHERE role <> 'tool'
+),
+msg AS (
+  SELECT conv_id,
+         sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+           AS alternation_violations,
+         max(CASE WHEN prev_role IS NULL THEN role END) AS first_role
+  FROM seq GROUP BY conv_id
+),
+tot AS (
+  SELECT conv_id, count(*) AS n_turns,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+           AS n_assistant,
+         sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool
+  FROM turns GROUP BY conv_id
+)
+SELECT t.conv_id,
+       CAST(t.n_turns AS BIGINT) AS n_turns,
+       CAST(t.n_user AS BIGINT) AS n_user,
+       CAST(t.n_assistant AS BIGINT) AS n_assistant,
+       CAST(t.n_tool AS BIGINT) AS n_tool,
+       CAST(coalesce(m.alternation_violations, 0) AS BIGINT)
+         AS alternation_violations,
+       coalesce(m.first_role, 'none') AS first_role,
+       CAST(coalesce(m.first_role, '') = 'user'
+            AND coalesce(m.alternation_violations, 0) = 0 AS BOOLEAN)
+         AS valid_structure
+FROM tot t LEFT JOIN msg m ON t.conv_id = m.conv_id
+"""
+
+
+def _conv_truncate_tail(dialect: str, budget: int = 256) -> str:
+    """Context-window truncation: per turn, the cumulative token count
+    of the conversation SUFFIX ending at the last turn, and a
+    ``keep_in_context`` flag marking the longest suffix that fits a
+    {budget}-token budget — the standard way chat transcripts are fitted
+    to a model context (keep the most recent turns, drop the oldest)
+    before packing training examples. Deterministic: the cut depends
+    only on per-turn token counts, never on sampling.
+
+    Scale shape: one window — sum over (PARTITION BY conv_id ORDER BY
+    turn_idx DESC ROWS UNBOUNDED PRECEDING..CURRENT) — so the whole
+    operator is one exchange on conv_id and one sort per partition;
+    token counts are computed in the scan projection (JVM split/size,
+    no UDF) and only (conv_id, turn_idx, n_tok) shuffle, never text."""
+    toks = _tokens(dialect)
+    n = "size" if dialect == "spark" else "len"
+    return f"""
+WITH {_transcript_turns_cte(dialect)},
+tok AS (
+  SELECT conv_id, turn_idx, {n}({toks}) AS n_tok FROM turns
+),
+acc AS (
+  SELECT conv_id, turn_idx, n_tok,
+         sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ctx_tokens
+  FROM tok
+)
+SELECT conv_id, turn_idx,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(ctx_tokens AS BIGINT) AS ctx_tokens_from_end,
+       CAST(ctx_tokens <= {budget} AS BOOLEAN) AS keep_in_context
+FROM acc
+"""
+
+
+def _prefix_key(dialect: str, toks: str, k: int = 2) -> str:
+    """Normalized k-token opening prefix of a turn — the loop/boilerplate
+    grouping key. Exact-text keys find nothing on a corpus with no exact
+    duplicates; openings are where chat boilerplate ('hello, how can
+    I...') and agent loops (same command retried) actually collide."""
+    if dialect == "spark":
+        return f"array_join(slice({toks}, 1, {k}), ' ')"
+    return f"array_to_string(({toks})[1:{k}], ' ')"
+
+
+def _conv_loop_detect(dialect: str) -> str:
+    """Agent-LOOP detection over the transcript mapping: per
+    conversation, how many turns share their normalized 2-token opening
+    with another turn of the SAME conversation (``n_looped_turns``), the
+    longest CONSECUTIVE streak of same-opening turns (``max_streak``,
+    gaps-and-islands), and a ``loop_flag``. Agent transcripts loop —
+    a model retrying the same tool call or re-emitting the same reply
+    produces runs of near-identical turns; those conversations are
+    dropped or truncated before training. Opening-prefix keying catches
+    'near-identical' without a similarity join.
+
+    Scale shape: ONE linear chain — no self-join back to the windowed
+    table (grouping the islands first, CARRYING the per-island looped
+    count, then rolling islands up per conversation gives every output
+    column from one pass; the join formulation would scan + tokenize
+    the corpus twice). Prefix keys are computed in the scan projection;
+    the occurrence count windows over (conv_id, prefix), the streak
+    machinery (lag + running sum) windows over conv_id, and BOTH
+    island/conversation aggregations — all satisfied by ONE
+    hash-exchange on conv_id (their partition/grouping keys are
+    supersets of conv_id, so Spark inserts per-partition Sorts, never
+    another shuffle): 1 scan + 1 exchange total, plan-pinned, and only
+    (conv_id, turn_idx, prefix) rows ever shuffle, never full text."""
+    toks = _tokens(dialect)
+    p = _prefix_key(dialect, toks)
+    return f"""
+WITH {_transcript_turns_cte(dialect)},
+keyed AS (
+  SELECT conv_id, turn_idx, {p} AS p FROM turns
+),
+occ AS (
+  SELECT conv_id, turn_idx, p,
+         count(*) OVER (PARTITION BY conv_id, p) AS n_occ,
+         CASE WHEN p = lag(p) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx)
+              THEN 0 ELSE 1 END AS brk
+  FROM keyed
+),
+isl AS (
+  SELECT conv_id, n_occ,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM occ
+),
+per_isl AS (
+  SELECT conv_id, g, count(*) AS streak,
+         sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS looped
+  FROM isl GROUP BY conv_id, g
+)
+SELECT conv_id,
+       CAST(sum(streak) AS BIGINT) AS n_turns,
+       CAST(sum(looped) AS BIGINT) AS n_looped_turns,
+       CAST(max(streak) AS BIGINT) AS max_streak,
+       CAST(sum(looped) > 0 AS BOOLEAN) AS loop_flag
+FROM per_isl
+GROUP BY conv_id
+"""
+
+
+def _turn_boilerplate(dialect: str, min_convs: int = 3) -> str:
+    """Cross-corpus BOILERPLATE openings: normalized 2-token turn
+    openings that appear in >= {min_convs} distinct conversations, with
+    their conversation document-frequency and total turn count. The
+    cross-conversation twin of ``conv_loop_detect`` — boilerplate
+    greetings / templated agent preambles recur across conversations
+    and get scrubbed or downweighted corpus-wide, exactly like web
+    boilerplate lines in C4/CCNet-style pipelines (public papers).
+
+    Scale shape: one groupBy on the short prefix key with
+    count(DISTINCT conv_id) — Spark expands distinct-aggregates into a
+    two-phase partial/final plan (map-side combine on (p, conv_id)
+    first), so the hot 'hello how' key never concentrates raw turns on
+    one reducer; nothing but (prefix, conv_id) ever shuffles."""
+    toks = _tokens(dialect)
+    p = _prefix_key(dialect, toks)
+    return f"""
+WITH {_transcript_turns_cte(dialect)},
+keyed AS (
+  SELECT conv_id, {p} AS opening FROM turns
+)
+SELECT opening,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM keyed
+GROUP BY opening
+HAVING count(DISTINCT conv_id) >= {min_convs}
+"""
+
+
 SQL_QUERIES["token_count_bpe"] = (
     _token_count_bpe("spark"),
     _token_count_bpe("duckdb"),
@@ -1405,6 +1628,22 @@ SQL_QUERIES["dedup_substring_spans"] = (
 SQL_QUERIES["dedup_substring_trim"] = (
     _dedup_substring_trim("spark"),
     _dedup_substring_trim("duckdb"),
+)
+SQL_QUERIES["conv_role_structure"] = (
+    _conv_role_structure("spark"),
+    _conv_role_structure("duckdb"),
+)
+SQL_QUERIES["conv_truncate_tail"] = (
+    _conv_truncate_tail("spark"),
+    _conv_truncate_tail("duckdb"),
+)
+SQL_QUERIES["conv_loop_detect"] = (
+    _conv_loop_detect("spark"),
+    _conv_loop_detect("duckdb"),
+)
+SQL_QUERIES["turn_boilerplate"] = (
+    _turn_boilerplate("spark"),
+    _turn_boilerplate("duckdb"),
 )
 
 TABLES = [

@@ -1349,3 +1349,148 @@ def test_sample_temperature_lang_flattens_distribution(spark):
         assert bool(r.keep_sampled) == _md5_lane_keep(
             int(r.doc_id), "temp", rate
         ), (r.doc_id, r.lang)
+
+
+def test_conv_truncate_tail_keeps_longest_fitting_suffix(spark):
+    """conv_truncate_tail on a hand corpus: the suffix cumulative token
+    sum runs from the LAST turn backwards, and keep_in_context marks
+    exactly the turns whose suffix total fits the 256-token budget."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    long_turn = " ".join(f"w{i}" for i in range(300))
+    rows = [  # conv-0: turns 0,1,2 (doc_ids 0,50,100); conv-1: turn 0
+        (0, long_turn),
+        (50, "a b c d e f g h i j"),
+        (100, "k l m n o"),
+        (1, "solo turn here"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["conv_truncate_tail"][0])
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = [
+        ("conv-0", 0, 300, 315, False),
+        ("conv-0", 1, 10, 15, True),
+        ("conv-0", 2, 5, 5, True),
+        ("conv-1", 0, 3, 3, True),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_conv_loop_detect_streaks_and_occurrences(spark):
+    """conv_loop_detect on a hand corpus: consecutive same-opening turns
+    form a streak, non-adjacent repeats still count as looped turns, and
+    unique-opening conversations come back unflagged."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [  # conv-0: 4 turns; conv-1: 2 distinct turns
+        (0, "run tests on module alpha"),
+        (50, "run tests again please now"),
+        (100, "inspect logs for errors"),
+        (150, "run tests one more time"),
+        (1, "hello there friend"),
+        (51, "goodbye for now"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["conv_loop_detect"][0])
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want = [
+        ("conv-0", 4, 3, 2, True),
+        ("conv-1", 2, 0, 1, False),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_turn_boilerplate_document_frequency_threshold(spark):
+    """turn_boilerplate: an opening shared by 3 conversations is
+    reported with its conv- and turn-frequency; one shared by only 2
+    conversations (even with many turns) stays below the threshold."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        (0, "hello how can i help"),      # conv-0
+        (1, "hello how are you"),         # conv-1
+        (2, "hello how is it going"),     # conv-2
+        (52, "hello how do you do"),      # conv-2 again (4 turns, 3 convs)
+        (3, "thanks bye for now"),        # conv-3
+        (4, "thanks bye see you"),        # conv-4  (2 convs only)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = spark.sql(SQL_QUERIES["turn_boilerplate"][0]).toPandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("hello how", 3, 4)
+    ]
+
+
+def test_conv_role_structure_invariants_on_corpus(spark):
+    """conv_role_structure on the real table: one row per conversation,
+    role counts partition the turn count, violations only occur in
+    conversations with tool turns (an isolated tool turn is what leaves
+    two same-role messages adjacent), and valid_structure is exactly
+    (first_role == 'user' AND zero violations)."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    r = spark.sql(SQL_QUERIES["conv_role_structure"][0]).toPandas()
+    assert len(r) == r.conv_id.nunique() == 50
+    assert (r.n_user + r.n_assistant + r.n_tool == r.n_turns).all()
+    viol = r[r.alternation_violations > 0]
+    assert (viol.n_tool > 0).all(), (
+        "parity-assigned roles only break around tool turns"
+    )
+    assert (
+        r.valid_structure
+        == ((r.first_role == "user") & (r.alternation_violations == 0))
+    ).all()
+    assert r.valid_structure.any() and (~r.valid_structure).any(), (
+        "fixture should exercise both verdicts"
+    )
+
+
+def test_transcript_ops_plan_shapes(spark):
+    """Plan gates for the transcript-structure operators:
+    conv_loop_detect is ONE scan + ONE conv_id exchange (all three
+    windows and both rollups reuse the partitioning — the self-join
+    form would scan and tokenize twice); conv_truncate_tail is one
+    scan + one exchange with text pruned out before the shuffle;
+    conv_role_structure broadcast-joins its two conv-level aggregates
+    and never reads the text column at all."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+
+    plan = (
+        spark.sql(SQL_QUERIES["conv_loop_detect"][0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = (
+        spark.sql(SQL_QUERIES["conv_truncate_tail"][0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = (
+        spark.sql(SQL_QUERIES["conv_role_structure"][0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "text" not in plan.split("== Physical Plan ==")[-1].lower() or (
+        "ReadSchema: struct<doc_id:bigint>" in plan
+    ), plan
