@@ -10,10 +10,14 @@ role (SURVEY.md §6).
 
 Algorithm: iterative min-label propagation with pointer jumping — each
 round every node takes the min label among {itself, its neighbours'
-labels, its label's label}. Pointer jumping halves label-chain depth per
-round, so convergence is O(log diameter) rounds; the LSH star-pair
-reduction (ops/queries.py LSH_BUCKET_CAP) already bounds per-bucket
-diameter at 2, and cross-bucket chains through shared docs stay shallow.
+labels}, then chases its label's label TWICE (double pointer jump:
+chain depth compresses 3x per round, still O(log diameter) rounds with
+a smaller constant; each extra hop is a V-sized label-table join,
+far cheaper than the E-sized neighbour join an extra round costs).
+Initialization fuses the first neighbour-min into the node-enumeration
+shuffle, so round 0 is free. The LSH star-pair reduction
+(ops/queries.py LSH_BUCKET_CAP) already bounds per-bucket diameter at
+2, and cross-bucket chains through shared docs stay shallow.
 This is the standard large-star/small-star contraction family
 (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
 expressed as DataFrame joins: every step is a hash join + groupBy-min —
@@ -85,10 +89,15 @@ def connected_components(
         .persist()
     )
     try:
+        # initialization already applies the first neighbour-min: the
+        # grouping that would otherwise only enumerate distinct nodes
+        # computes least(self, min(neighbour)) in the same shuffle, so
+        # round 0 of label propagation comes for free (one full
+        # E-sized join round saved).
         labels = ckpt(
-            und.select(F.col("u").alias("doc"))
-            .distinct()
-            .withColumn("rep", F.col("doc"))
+            und.groupBy("u")
+            .agg(F.least(F.col("u"), F.min("v")).alias("rep"))
+            .select(F.col("u").alias("doc"), "rep")
         )
         for _ in range(max_iters):
             nbr = (
@@ -97,35 +106,50 @@ def connected_components(
                 .agg(F.min("rep").alias("nbr_rep"))
                 .select(F.col("u").alias("doc"), "nbr_rep")
             )
-            # checkpoint BEFORE the pointer-jump self-join: `mid` is both
-            # the base and the lookup side of the jump, so an
-            # un-checkpointed plan would evaluate the neighbor-join +
-            # groupBy subtree twice per round (ADVICE r03)
-            mid = ckpt(
-                labels.join(nbr, "doc", "left").select(
-                    "doc",
-                    F.col("rep").alias("old_rep"),
-                    F.least(
-                        F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
-                    ).alias("rep"),
-                )
-            )
-            # pointer jumping: also adopt the label of the current label.
+            # persist (not eager-checkpoint) `mid`: it is the base AND
+            # both lookup sides of the pointer jumps below, so an
+            # unmarked plan would evaluate the neighbor-join + groupBy
+            # subtree three times (ADVICE r03); the cache materializes
+            # inside the `new` checkpoint's job — one job per round
+            # instead of two.
+            mid = labels.join(nbr, "doc", "left").select(
+                "doc",
+                F.col("rep").alias("old_rep"),
+                F.least(
+                    F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
+                ).alias("rep"),
+            ).persist()
+            # DOUBLE pointer jump: adopt the label of the label, twice
+            # (rep -> mid_rep^3 per round). Each extra hop is a join of
+            # two V-sized label tables — far cheaper than the E-sized
+            # neighbour join a whole extra round would cost, and it
+            # compresses chain depth 3x per round instead of 2x.
             # old_rep rides along so convergence is a filter+count over
             # the checkpointed table — no extra labels join per round.
             hop = mid.select(
                 F.col("doc").alias("rep"), F.col("rep").alias("rep2")
             )
+            j1 = mid.join(hop, "rep", "left").select(
+                "doc",
+                "old_rep",
+                F.least(
+                    F.col("rep"), F.coalesce("rep2", F.col("rep"))
+                ).alias("rep"),
+            )
+            hop2 = mid.select(
+                F.col("doc").alias("rep"), F.col("rep").alias("rep3")
+            )
             new = ckpt(
-                mid.join(hop, "rep", "left").select(
+                j1.join(hop2, "rep", "left").select(
                     "doc",
                     "old_rep",
                     F.least(
-                        F.col("rep"), F.coalesce("rep2", F.col("rep"))
+                        F.col("rep"), F.coalesce("rep3", F.col("rep"))
                     ).alias("rep"),
                 )
             )
             changed = new.filter(F.col("rep") != F.col("old_rep")).count()
+            mid.unpersist()
             labels = new.select("doc", "rep")
             if changed == 0:
                 return labels
