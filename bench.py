@@ -51,6 +51,7 @@ HEADLINE_QUERIES = [
     "conv_truncate_tail",
     "conv_loop_detect",
     "turn_boilerplate",
+    "pack_sequences",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

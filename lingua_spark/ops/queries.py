@@ -1613,6 +1613,58 @@ HAVING count(DISTINCT conv_id) >= {min_convs}
 """
 
 
+def _pack_sequences(dialect: str, seq_len: int = 512, shards: int = 16) -> str:
+    """Sequence PACKING for training-example assembly: documents are
+    concatenated in a deterministic order and split into fixed
+    {seq_len}-token training sequences (GPT-style packing — documents
+    cross sequence boundaries; the alternative padding policy wastes
+    budget). Emits per doc its token offsets in the packed stream and
+    the first/last sequence ids it lands in, plus how many sequences it
+    spans — the bookkeeping a packing writer needs to materialize
+    examples and attribute tokens back to documents.
+
+    Scale shape: a GLOBAL packing order would be one total-order window
+    (single reducer at 100 TB — unusable), so the stream is sharded:
+    docs hash into {shards} independent packing streams by
+    ``doc_id % {shards}``, and sequence ids are namespaced per (lang,
+    shard). Each stream is a running sum over (lang, shard ORDER BY
+    doc_id) — hash-parallel windows, deterministic under retries and
+    repartitioning (the order key is doc_id, not arrival order). Token
+    counts come from the scan projection (JVM split/size); only
+    (doc_id, lang, n_tok) shuffles. In production the writer consumes
+    one (lang, shard) partition per task and emits the actual packed
+    arrays; this operator is the planning/attribution layer that stays
+    in SQL."""
+    toks = _tokens(dialect)
+    n = "size" if dialect == "spark" else "len"
+    return f"""
+WITH tok AS (
+  -- zero-token docs contribute nothing to a packed stream and are
+  -- excluded up front (their offsets would be degenerate)
+  SELECT doc_id, lang, CAST(doc_id % {shards} AS INT) AS shard,
+         {n}({toks}) AS n_tok
+  FROM documents
+  WHERE {n}({toks}) > 0
+),
+acc AS (
+  SELECT doc_id, lang, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT doc_id, lang, shard,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum - n_tok AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_tok) / {seq_len}.0) AS BIGINT) AS first_seq,
+       CAST(floor((cum - 1) / {seq_len}.0) AS BIGINT) AS last_seq,
+       CAST(floor((cum - 1) / {seq_len}.0)
+            - floor((cum - n_tok) / {seq_len}.0) + 1 AS BIGINT)
+         AS n_seqs_spanned
+FROM acc
+"""
+
+
 SQL_QUERIES["token_count_bpe"] = (
     _token_count_bpe("spark"),
     _token_count_bpe("duckdb"),
@@ -1672,6 +1724,10 @@ SQL_QUERIES["conv_loop_detect"] = (
 SQL_QUERIES["turn_boilerplate"] = (
     _turn_boilerplate("spark"),
     _turn_boilerplate("duckdb"),
+)
+SQL_QUERIES["pack_sequences"] = (
+    _pack_sequences("spark"),
+    _pack_sequences("duckdb"),
 )
 
 TABLES = [

@@ -1494,3 +1494,56 @@ def test_transcript_ops_plan_shapes(spark):
     assert "text" not in plan.split("== Physical Plan ==")[-1].lower() or (
         "ReadSchema: struct<doc_id:bigint>" in plan
     ), plan
+
+
+def test_pack_sequences_hand_corpus(spark):
+    """pack_sequences on a hand corpus (seq_len=512): offsets are the
+    running token sum per (lang, shard) stream in doc_id order, boundary
+    crossings span two sequences, and empty docs are excluded."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [  # all one lang/shard: doc_ids 0,16,32 with shards=16
+        (0, words(500, "a"), "en"),
+        (16, words(100, "b"), "en"),   # crosses the 512 boundary
+        (32, words(12, "c"), "en"),
+        (48, "", "en"),                # zero tokens -> excluded
+        (1, words(5, "d"), "de"),      # separate (lang, shard) stream
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang"]
+    ).createOrReplaceTempView("documents")
+    got = (
+        spark.sql(SQL_QUERIES["pack_sequences"][0])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = [
+        (0, "en", 0, 500, 0, 0, 0, 1),
+        (1, "de", 1, 5, 0, 0, 0, 1),
+        (16, "en", 0, 100, 500, 0, 1, 2),
+        (32, "en", 0, 12, 600, 1, 1, 1),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """On the real table: within every (lang, shard) stream, offsets
+    tile the packed stream exactly (no gaps, no overlaps), sequence ids
+    are consistent with offsets, and every nonempty doc appears once."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    p = spark.sql(SQL_QUERIES["pack_sequences"][0]).toPandas()
+    assert p.doc_id.is_unique
+    for (_, _), g in p.groupby(["lang", "shard"]):
+        g = g.sort_values("doc_id")
+        ends = (g.start_offset + g.n_tok).tolist()
+        assert g.start_offset.tolist() == [0] + ends[:-1], "streams tile"
+    assert (p.first_seq == p.start_offset // 512).all()
+    assert (p.last_seq == (p.start_offset + p.n_tok - 1) // 512).all()
+    assert (p.n_seqs_spanned == p.last_seq - p.first_seq + 1).all()
+    assert (p.n_seqs_spanned >= 1).all()
