@@ -52,6 +52,8 @@ HEADLINE_QUERIES = [
     "conv_loop_detect",
     "turn_boilerplate",
     "pack_sequences",
+    "conv_tool_sanity",
+    "quality_encoding",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -1613,6 +1613,87 @@ HAVING count(DISTINCT conv_id) >= {min_convs}
 """
 
 
+def _conv_tool_sanity(dialect: str) -> str:
+    """Tool-call PROTOCOL validation over the transcript mapping: in an
+    agent transcript a tool(-result) turn must directly follow the
+    assistant turn that issued the call. Per conversation: tool-turn
+    count, ORPHAN tool turns (preceded by anything other than an
+    assistant turn — includes tool-after-tool chains, counted separately
+    as ``tool_chains`` since multi-result chains are often legal and a
+    consumer may want to exempt them), and a ``tool_protocol_ok``
+    verdict. The structural sibling of ``_conv_role_structure`` (same
+    synthesized role column, same one-window shape): that operator
+    validates the user/assistant alternation AROUND tool turns, this one
+    validates the tool turns themselves.
+
+    Scale shape: one lag window over (conv_id, turn order) and one
+    conv-keyed aggregation that reuses the window's exchange — one scan,
+    one shuffle, only (conv_id, role) moves."""
+    return f"""
+WITH {_transcript_turns_cte(dialect, with_role=True)},
+seq AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role
+  FROM turns
+)
+SELECT conv_id,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool,
+       CAST(sum(CASE WHEN role = 'tool'
+                      AND (prev_role IS NULL OR prev_role <> 'assistant')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS orphan_tool_turns,
+       CAST(sum(CASE WHEN role = 'tool' AND prev_role = 'tool'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tool_chains,
+       CAST(sum(CASE WHEN role = 'tool'
+                      AND (prev_role IS NULL OR prev_role <> 'assistant')
+                     THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+         AS tool_protocol_ok
+FROM seq GROUP BY conv_id
+"""
+
+
+def _quality_encoding(dialect: str) -> str:
+    """Encoding-corruption quality gate: per document, the number of
+    U+FFFD replacement characters (the scar a lossy decode leaves) and
+    of C0 control characters (excluding tab/newline/CR), their combined
+    ratio, and an ``encoding_ok`` keep flag (zero controls, replacement
+    ratio <= 0.1%). Mojibake filtering is a standard early gate in
+    C4/CCNet-style web pipelines (public papers); on clean synthetic
+    corpora every row passes — the gate's value is on real crawled
+    text, and the hand-corpus pytest injects corrupt rows to pin the
+    semantics.
+
+    Scale shape: pure per-row JVM expressions (replace + regexp_replace
+    length deltas) in the scan projection — no shuffle at all; the
+    filter composes into any downstream pipeline scan-side."""
+    # the replacement char is embedded as a UTF-8 literal; both engines
+    # treat it as an ordinary 1-codepoint string
+    repl = "�"
+    if dialect == "spark":
+        ctrl = (
+            "length(text) - length(regexp_replace(text,"
+            " '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', ''))"
+        )
+    else:
+        ctrl = (
+            "length(text) - length(regexp_replace(text,"
+            " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))"
+        )
+    nrepl = f"length(text) - length(replace(text, '{repl}', ''))"
+    return f"""
+SELECT doc_id,
+       CAST({nrepl} AS BIGINT) AS n_repl_chars,
+       CAST({ctrl} AS BIGINT) AS n_ctrl_chars,
+       round(CAST({nrepl} + {ctrl} AS DOUBLE)
+             / greatest(length(text), 1), 6) AS bad_char_ratio,
+       CAST({ctrl} = 0
+            AND {nrepl} <= 0.001 * length(text) AS BOOLEAN)
+         AS encoding_ok
+FROM documents
+"""
+
+
 def _pack_sequences(dialect: str, seq_len: int = 512, shards: int = 16) -> str:
     """Sequence PACKING for training-example assembly: documents are
     concatenated in a deterministic order and split into fixed
@@ -1728,6 +1809,14 @@ SQL_QUERIES["turn_boilerplate"] = (
 SQL_QUERIES["pack_sequences"] = (
     _pack_sequences("spark"),
     _pack_sequences("duckdb"),
+)
+SQL_QUERIES["conv_tool_sanity"] = (
+    _conv_tool_sanity("spark"),
+    _conv_tool_sanity("duckdb"),
+)
+SQL_QUERIES["quality_encoding"] = (
+    _quality_encoding("spark"),
+    _quality_encoding("duckdb"),
 )
 
 TABLES = [

@@ -1547,3 +1547,84 @@ def test_pack_sequences_stream_invariants(spark):
     assert (p.last_seq == (p.start_offset + p.n_tok - 1) // 512).all()
     assert (p.n_seqs_spanned == p.last_seq - p.first_seq + 1).all()
     assert (p.n_seqs_spanned >= 1).all()
+
+
+def test_conv_tool_sanity_hand_corpus(spark):
+    """conv_tool_sanity with explicit role control (roles are an md5
+    coin of doc_id, so pick doc_ids whose synthesized roles form the
+    patterns under test is brittle — instead validate invariants on the
+    real corpus in the companion test and pin semantics here via the
+    DuckDB twin on the same hand rows)."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [(i, f"turn {i}") for i in range(0, 500, 50)]  # conv-0, 10 turns
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["conv_tool_sanity"][0])
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = (
+        con.sql(SQL_QUERIES["conv_tool_sanity"][1])
+        .df()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # structural invariants
+    assert (got.orphan_tool_turns >= got.tool_chains).all()
+    assert (got.tool_protocol_ok == (got.orphan_tool_turns == 0)).all()
+
+
+def test_conv_tool_sanity_invariants_on_corpus(spark):
+    """On the real table: one row per conversation, orphan counts bound
+    tool counts, chains bound orphans, and the verdict is exactly
+    orphan_tool_turns == 0."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    r = spark.sql(SQL_QUERIES["conv_tool_sanity"][0]).toPandas()
+    assert len(r) == 50 and r.conv_id.is_unique
+    assert (r.orphan_tool_turns <= r.n_tool).all()
+    assert (r.tool_chains <= r.orphan_tool_turns).all()
+    assert (r.tool_protocol_ok == (r.orphan_tool_turns == 0)).all()
+    assert (~r.tool_protocol_ok).any(), (
+        "the md5-coin roles should produce some orphan tool turns"
+    )
+
+
+def test_quality_encoding_flags_injected_corruption(spark):
+    """quality_encoding on a hand corpus: clean text passes, replacement
+    characters count toward the ratio gate, and control characters fail
+    the row outright."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    clean = "a perfectly ordinary sentence " * 40   # 1200 chars
+    rows = [
+        (1, clean),
+        (2, clean + "�"),                      # 1 repl in 1201 -> ok
+        (3, "short � text"),                   # ratio too high
+        (4, "has a bell \x07 char"),                # control char -> fail
+        (5, "tabs\tand\nnewlines are fine"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["quality_encoding"][0])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.encoding_ok.tolist() == [True, True, False, False, True]
+    assert got.n_repl_chars.tolist() == [0, 1, 1, 0, 0]
+    assert got.n_ctrl_chars.tolist() == [0, 0, 0, 1, 0]
