@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "pack_sequences",
     "conv_tool_sanity",
     "quality_encoding",
+    "conv_pii_quarantine",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -655,20 +655,39 @@ _PII_SSN = r"\d{3}-\d{2}-\d{4}"
 _PII_IP = r"(\d{1,3}\.){3}\d{1,3}"
 
 
+def _pii_pats(dialect: str) -> tuple[str, str, str]:
+    """The PII patterns, escaped for the dialect's string-literal rules.
+
+    Spark SQL string literals process backslash escapes (with the
+    default ``spark.sql.parser.escapedStringLiterals=false``), so a
+    ``\\d`` written directly in SQL reaches the regex engine as a bare
+    ``d`` and silently never matches — the SSN and IP patterns need
+    doubled backslashes.  DuckDB's single-quoted literals keep
+    backslashes verbatim (PostgreSQL semantics), so the raw patterns
+    are correct there.  Divergence caught by a hand-corpus pytest; the
+    parquet corpus has no SSN/IP-shaped strings, so the oracle gate
+    alone could not see it."""
+    pats = (_PII_EMAIL, _PII_SSN, _PII_IP)
+    if dialect == "spark":
+        return tuple(p.replace("\\", "\\\\") for p in pats)
+    return pats
+
+
 def _pii_scrub(dialect: str) -> str:
+    email, ssn, ip = _pii_pats(dialect)
     if dialect == "spark":
         scrub = (
             f"regexp_replace(regexp_replace(regexp_replace(text,"
-            f" '{_PII_EMAIL}', '[EMAIL]'),"
-            f" '{_PII_SSN}', '[SSN]'),"
-            f" '{_PII_IP}', '[IP]')"
+            f" '{email}', '[EMAIL]'),"
+            f" '{ssn}', '[SSN]'),"
+            f" '{ip}', '[IP]')"
         )
     else:
         scrub = (
             f"regexp_replace(regexp_replace(regexp_replace(text,"
-            f" '{_PII_EMAIL}', '[EMAIL]', 'g'),"
-            f" '{_PII_SSN}', '[SSN]', 'g'),"
-            f" '{_PII_IP}', '[IP]', 'g')"
+            f" '{email}', '[EMAIL]', 'g'),"
+            f" '{ssn}', '[SSN]', 'g'),"
+            f" '{ip}', '[IP]', 'g')"
         )
     return f"""
 SELECT doc_id, {scrub} AS scrubbed_text,
@@ -1613,6 +1632,45 @@ HAVING count(DISTINCT conv_id) >= {min_convs}
 """
 
 
+def _conv_pii_quarantine(dialect: str, rate: float = 0.2) -> str:
+    """Conversation-level PII propagation: a turn that trips the PII
+    regexes (email/SSN/IP — the ``pii_scrub_sql`` pattern set) taints
+    its CONVERSATION, not just itself: scrubbing one turn while its
+    sibling turns quote the same address back is how PII survives
+    turn-local filters in chat data. Per conversation: PII-turn count,
+    rate, and a ``quarantine`` verdict (rate > {rate} — heavy-PII
+    conversations are dropped whole; lighter ones proceed to the
+    turn-level scrub).
+
+    Scale shape: the per-turn flag is a pure scan-side regex (instr of
+    the scrubbed form vs the original length — no second pass), and the
+    conversation rollup is one map-side-combinable groupBy(conv_id);
+    only (conv_id, one boolean) shuffles."""
+    email, ssn, ip = _pii_pats(dialect)
+    g = "" if dialect == "spark" else ", 'g'"
+    hit = (
+        f"length(text) != length(regexp_replace(regexp_replace("
+        f"regexp_replace(text,"
+        f" '{email}', ''{g}),"
+        f" '{ssn}', ''{g}),"
+        f" '{ip}', ''{g}))"
+    )
+    return f"""
+WITH {_transcript_turns_cte(dialect)},
+flagged AS (
+  SELECT conv_id, CASE WHEN {hit} THEN 1 ELSE 0 END AS pii
+  FROM turns
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(pii) AS BIGINT) AS n_pii_turns,
+       round(CAST(sum(pii) AS DOUBLE) / count(*), 4) AS pii_rate,
+       CAST(CAST(sum(pii) AS DOUBLE) / count(*) > {rate} AS BOOLEAN)
+         AS quarantine
+FROM flagged GROUP BY conv_id
+"""
+
+
 def _conv_tool_sanity(dialect: str) -> str:
     """Tool-call PROTOCOL validation over the transcript mapping: in an
     agent transcript a tool(-result) turn must directly follow the
@@ -1817,6 +1875,10 @@ SQL_QUERIES["conv_tool_sanity"] = (
 SQL_QUERIES["quality_encoding"] = (
     _quality_encoding("spark"),
     _quality_encoding("duckdb"),
+)
+SQL_QUERIES["conv_pii_quarantine"] = (
+    _conv_pii_quarantine("spark"),
+    _conv_pii_quarantine("duckdb"),
 )
 
 TABLES = [

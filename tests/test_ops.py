@@ -1628,3 +1628,39 @@ def test_quality_encoding_flags_injected_corruption(spark):
     assert got.encoding_ok.tolist() == [True, True, False, False, True]
     assert got.n_repl_chars.tolist() == [0, 1, 1, 0, 0]
     assert got.n_ctrl_chars.tolist() == [0, 0, 0, 1, 0]
+
+
+def test_conv_pii_quarantine_propagates_to_conversation(spark):
+    """conv_pii_quarantine on a hand corpus: one PII turn taints its
+    conversation's rate; conversations over the 0.2 threshold are
+    quarantined, clean ones are not."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [  # conv-0: 2/3 turns with PII -> quarantine
+        (0, "contact me at alice@example.com"),
+        (50, "my ssn is 123-45-6789"),
+        (100, "a perfectly clean turn"),
+        # conv-1: 1/5 turns with PII (rate 0.2, NOT > 0.2) -> keep
+        (1, "server at 10.0.0.1 is down"),
+        (51, "clean turn one"),
+        (101, "clean turn two"),
+        (151, "clean turn three"),
+        (201, "clean turn four"),
+        # conv-2: fully clean
+        (2, "nothing sensitive here"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["conv_pii_quarantine"][0])
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want = [
+        ("conv-0", 3, 2, 0.6667, True),
+        ("conv-1", 5, 1, 0.2, False),
+        ("conv-2", 1, 0, 0.0, False),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
