@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "conv_tool_sanity",
     "quality_encoding",
     "conv_pii_quarantine",
+    "conv_select_final",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

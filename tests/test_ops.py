@@ -1664,3 +1664,120 @@ def test_conv_pii_quarantine_propagates_to_conversation(spark):
         ("conv-2", 1, 0, 0.0, False),
     ]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_conv_select_final_hand_corpus(spark):
+    """conv_select_final on a hand corpus: the text-derived gates (pii,
+    quality, dedup-representative) fire on injected conversations, the
+    DuckDB twin agrees row-for-row, and selected / drop_reason are pure
+    functions of the six flags. Role-derived gates (structure, tool,
+    loop) are pinned on the real corpus in the companion invariants
+    test — roles are an md5 coin of doc_id, so hand-picking doc_ids to
+    force role patterns would be brittle."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    clean = "this is a perfectly reasonable sentence about software"
+    rows = [
+        # conv-0: 2/3 turns carry PII -> pii_ok False
+        (0, "contact me at alice@example.com"),
+        (50, "my ssn is 123-45-6789"),
+        (100, clean),
+        # conv-1: every turn fails the heuristic keep -> quality_ok False
+        (1, "@@@@@@@@@@"),
+        (51, "##########"),
+        (101, "$$$$$$$$$$"),
+        # conv-2 / conv-3: identical turn streams -> conv-3 is the
+        # duplicate (min conv_id keeps)
+        (2, clean + " two"),
+        (52, clean + " fifty two"),
+        (3, clean + " two"),
+        (53, clean + " fifty two"),
+        # conv-4: clean and unique
+        (4, clean + " four"),
+        (54, clean + " fifty four"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["conv_select_final"][0])
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = (
+        con.sql(SQL_QUERIES["conv_select_final"][1])
+        .df()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    by = got.set_index("conv_id")
+    assert not by.loc["conv-0", "pii_ok"]
+    assert not by.loc["conv-1", "quality_ok"]
+    assert by.loc["conv-2", "dedup_ok"] and not by.loc["conv-3", "dedup_ok"]
+    assert by.loc["conv-4", ["pii_ok", "quality_ok", "dedup_ok"]].all()
+    flags = ["structure_ok", "tool_ok", "loop_ok", "pii_ok", "quality_ok",
+             "dedup_ok"]
+    reasons = ["structure", "tool_protocol", "loop", "pii", "quality",
+               "duplicate"]
+    assert (got.selected == got[flags].all(axis=1)).all()
+    for _, r in got.iterrows():
+        expect = next(
+            (reason for f, reason in zip(flags, reasons) if not r[f]), "kept"
+        )
+        assert r.drop_reason == expect
+
+
+def test_conv_select_final_matches_component_gates(spark):
+    """On the real corpus: one row per conversation, and every fused
+    gate agrees exactly with the standalone operator it absorbs
+    (conv_role_structure, conv_tool_sanity, conv_loop_detect,
+    conv_pii_quarantine, per-turn quality rollup, conv_dedup_exact) —
+    the fusion changes the plan, never the decisions."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    sel = spark.sql(SQL_QUERIES["conv_select_final"][0]).toPandas()
+    assert len(sel) == 50 and sel.conv_id.is_unique
+    by = sel.set_index("conv_id")
+
+    rs = (
+        spark.sql(SQL_QUERIES["conv_role_structure"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert by.structure_ok.equals(rs.valid_structure.reindex(by.index))
+    ts = (
+        spark.sql(SQL_QUERIES["conv_tool_sanity"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert by.tool_ok.equals(ts.tool_protocol_ok.reindex(by.index))
+    ld = (
+        spark.sql(SQL_QUERIES["conv_loop_detect"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert by.loop_ok.equals(~ld.loop_flag.reindex(by.index))
+    pq = (
+        spark.sql(SQL_QUERIES["conv_pii_quarantine"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert by.pii_ok.equals(~pq.quarantine.reindex(by.index))
+    assert by.n_turns.equals(pq.n_turns.reindex(by.index))
+    dd = spark.sql(SQL_QUERIES["conv_dedup_exact"][0]).toPandas()
+    keepers = set(dd.keep_conv_id)
+    assert (by.dedup_ok == by.index.isin(keepers)).all()
+    assert (sel.drop_reason.eq("kept") == sel.selected).all()
+    assert sel.selected.any(), "some conversations must survive all gates"
+    assert (~sel.selected).any(), (
+        "the md5-coin roles should fail some conversations"
+    )
