@@ -1781,3 +1781,27 @@ def test_conv_select_final_matches_component_gates(spark):
     assert (~sel.selected).any(), (
         "the md5-coin roles should fail some conversations"
     )
+
+
+def test_conv_select_final_plan_shape(spark):
+    """Plan gate for the fused selection: the turns branch scans
+    documents once with full text and the alternation branch prunes to
+    doc_id only (2 scans total), exactly one exchange is keyed on the
+    turn-level conv_id per branch plus one tiny conv-level exchange on
+    the 16-byte conv_key (3 exchanges total, none keyed on text), and
+    the conv-level gate stitch broadcasts — a join-of-six-materialized-
+    operators shape would scan the corpus six times."""
+    import re
+
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql(SQL_QUERIES["conv_select_final"][0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert len(keys) == 3, plan
+    assert sum(k.startswith("conv_key") for k in keys) == 1, keys
+    assert sum(k.startswith("conv_id") for k in keys) == 2, keys
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "text" not in " ".join(keys)
