@@ -1542,6 +1542,24 @@ def _prefix_key(dialect: str, toks: str, k: int = 2) -> str:
     return f"array_to_string(({toks})[1:{k}], ' ')"
 
 
+def _prefix_key_safe(dialect: str, toks: str, k: int = 2) -> str:
+    """``_prefix_key`` with degenerate openings (NULL or tokenless text)
+    replaced by a per-turn-unique sentinel, so they can never collide in
+    a (conv_id, prefix) window: an empty opening is no evidence of a
+    loop. Also the dialect-parity fix — on NULL text Spark's
+    array_join(NULL) stays NULL while '' text yields '', but DuckDB's
+    array_to_string collapses BOTH to NULL, so the raw key makes a
+    NULL-turn and an empty-turn collide in DuckDB but not in Spark
+    (NULLs group together inside window partitions). Requires a
+    ``turn_idx`` column in scope."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    p = _prefix_key(dialect, toks, k)
+    return (
+        f"coalesce(nullif({p}, ''),"
+        f" concat('[no-opening#]', CAST(turn_idx AS {cast})))"
+    )
+
+
 def _conv_loop_detect(dialect: str) -> str:
     """Agent-LOOP detection over the transcript mapping: per
     conversation, how many turns share their normalized 2-token opening
@@ -1564,9 +1582,13 @@ def _conv_loop_detect(dialect: str) -> str:
     hash-exchange on conv_id (their partition/grouping keys are
     supersets of conv_id, so Spark inserts per-partition Sorts, never
     another shuffle): 1 scan + 1 exchange total, plan-pinned, and only
-    (conv_id, turn_idx, prefix) rows ever shuffle, never full text."""
+    (conv_id, turn_idx, prefix) rows ever shuffle, never full text.
+
+    Degenerate openings (NULL / tokenless turns) key on a
+    per-turn-unique sentinel (``_prefix_key_safe``): they never loop,
+    and the NULL-vs-empty dialect divergence cannot reach the window."""
     toks = _tokens(dialect)
-    p = _prefix_key(dialect, toks)
+    p = _prefix_key_safe(dialect, toks)
     return f"""
 WITH {_transcript_turns_cte(dialect)},
 keyed AS (
@@ -1615,13 +1637,18 @@ def _turn_boilerplate(dialect: str, min_convs: int = 3) -> str:
     count(DISTINCT conv_id) — Spark expands distinct-aggregates into a
     two-phase partial/final plan (map-side combine on (p, conv_id)
     first), so the hot 'hello how' key never concentrates raw turns on
-    one reducer; nothing but (prefix, conv_id) ever shuffles."""
+    one reducer; nothing but (prefix, conv_id) ever shuffles. Turns
+    with no opening (NULL / tokenless text) are excluded up front —
+    'nothing' recurring across conversations is not boilerplate, and
+    dropping them scan-side also removes the NULL-vs-empty dialect
+    divergence (`_prefix_key_safe` docstring)."""
     toks = _tokens(dialect)
     p = _prefix_key(dialect, toks)
     return f"""
 WITH {_transcript_turns_cte(dialect)},
 keyed AS (
   SELECT conv_id, {p} AS opening FROM turns
+  WHERE coalesce({p}, '') <> ''
 )
 SELECT opening,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
@@ -2153,9 +2180,10 @@ def _conv_select_final(
     Drop-reason priority (structure > tool > loop > pii > quality >
     duplicate) mirrors pipeline order: structural rejects never reach
     the quality scorer, and a duplicate of a broken conversation is
-    reported as broken, not as a duplicate."""
+    reported as broken, not as a duplicate. The loop gate keys on
+    ``_prefix_key_safe`` — degenerate openings never count as loops."""
     toks = _tokens(dialect)
-    p = _prefix_key(dialect, toks)
+    p = _prefix_key_safe(dialect, toks)
     email, ssn, ip = _pii_pats(dialect)
     g = "" if dialect == "spark" else ", 'g'"
     pii_hit = (

@@ -1805,3 +1805,60 @@ def test_conv_select_final_plan_shape(spark):
     assert sum(k.startswith("conv_id") for k in keys) == 2, keys
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "text" not in " ".join(keys)
+
+
+def test_degenerate_openings_dialect_parity(spark):
+    """NULL-vs-empty regression: on NULL text Spark's prefix key stays
+    NULL while '' text yields '', but DuckDB collapses BOTH to NULL —
+    so with the raw key a NULL-turn and an empty-turn collide inside a
+    DuckDB window partition (NULLs group together) but not in Spark,
+    and conv_loop_detect / conv_select_final silently disagree on
+    corpora with degenerate rows. The sentinel key must make both
+    dialects agree AND never count tokenless turns as loops."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        # conv-0: real loop (same opening twice) + NULL + empty turns
+        (0, "retry the failing command now"),
+        (50, None),
+        (100, ""),
+        (150, "retry the failing command please"),
+        # conv-1: ONLY degenerate turns -> must not loop-flag
+        (1, None),
+        (51, ""),
+        (101, "   "),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+
+    for name in ["conv_loop_detect", "turn_boilerplate", "conv_select_final"]:
+        got = (
+            spark.sql(SQL_QUERIES[name][0])
+            .toPandas()
+            .sort_values(list(spark.sql(SQL_QUERIES[name][0]).columns[:1]))
+            .reset_index(drop=True)
+        )
+        want = (
+            con.sql(SQL_QUERIES[name][1])
+            .df()
+            .sort_values(list(got.columns[:1]))
+            .reset_index(drop=True)
+        )
+        assert got.astype(str).equals(want[got.columns].astype(str)), name
+
+    ld = (
+        spark.sql(SQL_QUERIES["conv_loop_detect"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert bool(ld.loc["conv-0", "loop_flag"]), "real loop still detected"
+    assert not bool(ld.loc["conv-1", "loop_flag"]), (
+        "tokenless turns are not loop evidence"
+    )
+    assert int(ld.loc["conv-1", "max_streak"]) == 1
