@@ -94,9 +94,18 @@ def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
     digest) and each 32-hex digest is cut into four independent 8-hex
     lanes. The lexicographic min over fixed-length hex equals the numeric
     min, so each lane is a valid 32-bit minhash permutation. Identical
-    SQL semantics in both dialects (substr is 1-indexed in both)."""
+    SQL semantics in both dialects (substr is 1-indexed in both).
+
+    Docs whose CLEANED text is NULL or empty are excluded: an empty
+    shingle set has no minhash signature, and the degenerate keys would
+    otherwise collapse every contentless doc into one giant candidate
+    bucket — in Spark only, since its greatest(NULL,1)=1 path emits a
+    [NULL] shingle where DuckDB emits none (dialect divergence pinned
+    by the degenerate-corpus parity test). Short-but-nonempty docs keep
+    their single whole-text shingle."""
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", k)
+    nonempty = "WHERE length(coalesce(c, '')) >= 1"
     n_digests = (n_hashes + 3) // 4
     digests = ", ".join(
         f"md5({'s' if d == 0 else repr('~' * d) + ' || s'}) AS m{d}"
@@ -105,12 +114,14 @@ def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
     if dialect == "spark":
         shingled = (
             f"SELECT doc_id, {digests} FROM (SELECT doc_id, explode({sh})"
-            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents))"
+            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents)"
+            f" {nonempty})"
         )
     else:
         shingled = (
             f"SELECT doc_id, {digests} FROM (SELECT doc_id, unnest({sh})"
-            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents))"
+            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents)"
+            f" {nonempty})"
         )
     mins = ", ".join(
         f"min(substr(m{(i - 1) // 4}, {1 + 8 * ((i - 1) % 4)}, 8)) AS h{i}"
@@ -689,9 +700,12 @@ def _pii_scrub(dialect: str) -> str:
             f" '{ssn}', '[SSN]', 'g'),"
             f" '{ip}', '[IP]', 'g')"
         )
+    # coalesce: was_scrubbed is a total gate — NULL text was not
+    # scrubbed, not unknown (scrubbed_text faithfully stays NULL)
     return f"""
 SELECT doc_id, {scrub} AS scrubbed_text,
-       CAST(length(text) - length({scrub}) != 0 AS BOOLEAN) AS was_scrubbed
+       CAST(coalesce(length(text) - length({scrub}) != 0, FALSE)
+            AS BOOLEAN) AS was_scrubbed
 FROM documents
 """
 
@@ -746,15 +760,20 @@ SQL_QUERIES: dict[str, tuple[str, str]] = {
     # N1 n-gram extraction + SO2 dedup: distinct trigram count per doc.
     # Cleanup runs once in a subquery — inlining it would re-evaluate the
     # regex chain per transform element.
+    # coalesce: NULL text counts 0 trigrams in both dialects (Spark's
+    # greatest(NULL,1) shingle path would otherwise count 1 where
+    # DuckDB's range(NULL) counts 0 — degenerate-corpus parity test)
     "n1_trigram_distinct": (
-        "SELECT doc_id, CAST(size(array_distinct("
-        + _shingles("spark", "c", 3)
-        + ")) AS BIGINT) AS n_distinct_trigrams FROM"
-        f" (SELECT doc_id, {_cleaned('spark')} AS c FROM documents)",
-        "SELECT doc_id, CAST(len(list_distinct("
-        + _shingles("duckdb", "c", 3)
-        + ")) AS BIGINT) AS n_distinct_trigrams FROM"
-        f" (SELECT doc_id, {_cleaned('duckdb')} AS c FROM documents)",
+        "SELECT doc_id, CAST(CASE WHEN length(c) >= 1 THEN size("
+        "array_distinct(" + _shingles("spark", "c", 3) + ")) ELSE 0 END"
+        " AS BIGINT) AS n_distinct_trigrams FROM"
+        f" (SELECT doc_id, coalesce({_cleaned('spark')}, '') AS c"
+        " FROM documents)",
+        "SELECT doc_id, CAST(CASE WHEN length(c) >= 1 THEN len("
+        "list_distinct(" + _shingles("duckdb", "c", 3) + ")) ELSE 0 END"
+        " AS BIGINT) AS n_distinct_trigrams FROM"
+        f" (SELECT doc_id, coalesce({_cleaned('duckdb')}, '') AS c"
+        " FROM documents)",
     ),
 }
 
@@ -837,25 +856,28 @@ FROM documents
 """,
 )
 
+# coalesce: keep is a total gate — NULL text is a drop, not an unknown
 SQL_QUERIES["quality_keep_sql"] = (
     f"""
 SELECT doc_id,
-  CAST(length(text) >= 8
+  CAST(coalesce(length(text) >= 8
    AND size({_tokens('spark')}) >= 2
    AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) * 1.0
        / greatest(length(text), 1) <= 0.3
    AND size(array_distinct({_tokens('spark')})) * 1.0
-       / greatest(size({_tokens('spark')}), 1) >= 0.2 AS BOOLEAN) AS keep
+       / greatest(size({_tokens('spark')}), 1) >= 0.2, FALSE)
+   AS BOOLEAN) AS keep
 FROM documents
 """,
     f"""
 SELECT doc_id,
-  CAST(length(text) >= 8
+  CAST(coalesce(length(text) >= 8
    AND len({_tokens('duckdb')}) >= 2
    AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
        / greatest(length(text), 1) <= 0.3
    AND len(list_distinct({_tokens('duckdb')})) * 1.0
-       / greatest(len({_tokens('duckdb')}), 1) >= 0.2 AS BOOLEAN) AS keep
+       / greatest(len({_tokens('duckdb')}), 1) >= 0.2, FALSE)
+   AS BOOLEAN) AS keep
 FROM documents
 """,
 )
@@ -1775,7 +1797,7 @@ SELECT doc_id,
        CAST({ctrl} = 0
             AND {nrepl} <= 0.001 * length(text) AS BOOLEAN)
          AS encoding_ok
-FROM documents
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 """
 
 
@@ -2126,22 +2148,23 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce: the keep gate is total — NULL text is a drop, not an unknown
 _KEEP_EXPR_SPARK = f"""
-CAST(length(text) >= 8
+CAST(coalesce(length(text) >= 8
  AND size({_tokens('spark')}) >= 2
  AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) * 1.0
      / greatest(length(text), 1) <= 0.3
  AND size(array_distinct({_tokens('spark')})) * 1.0
-     / greatest(size({_tokens('spark')}), 1) >= 0.2 AS BOOLEAN)
+     / greatest(size({_tokens('spark')}), 1) >= 0.2, FALSE) AS BOOLEAN)
 """
 
 _KEEP_EXPR_DUCK = f"""
-CAST(length(text) >= 8
+CAST(coalesce(length(text) >= 8
  AND len({_tokens('duckdb')}) >= 2
  AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
      / greatest(length(text), 1) <= 0.3
  AND len(list_distinct({_tokens('duckdb')})) * 1.0
-     / greatest(len({_tokens('duckdb')}), 1) >= 0.2 AS BOOLEAN)
+     / greatest(len({_tokens('duckdb')}), 1) >= 0.2, FALSE) AS BOOLEAN)
 """
 
 
