@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     "quality_encoding",
     "conv_pii_quarantine",
     "conv_select_final",
+    "ccnet_quality_buckets",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

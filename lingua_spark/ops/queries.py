@@ -1285,6 +1285,97 @@ FROM documents d JOIN lr ON d.lang = lr.lang
 """
 
 
+def _fluency_scored(dialect: str, src: str, out: str) -> str:
+    """CTE text scoring every row of ``src`` (a documents-shaped CTE or
+    table) with a PROXY PERPLEXITY: 1 / (0.01 + stopword density).
+    Fluent text is dense in function words, so low proxy_ppl ≈ low LM
+    perplexity — the monotonicity CCNet's bucketing needs, computed
+    with a broadcast VALUES join instead of a language model. Emitted
+    twice by ``_ccnet_quality_buckets`` (full corpus + sample); the
+    arithmetic is textually identical in both emissions and both
+    dialects, so scores and cutoffs are bit-comparable."""
+    tok = _tokens(dialect)
+    n = "size" if dialect == "spark" else "len"
+    ex = "explode" if dialect == "spark" else "unnest"
+    return f"""{out}_hits AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, {ex}({tok}) AS w FROM {src}) t
+  JOIN stop ON t.w = stop.w
+  GROUP BY doc_id
+),
+{out} AS (
+  SELECT d.doc_id, d.lang,
+         round(1.0 / (0.01 + CAST(coalesce(h.c, 0) AS DOUBLE)
+               / greatest(coalesce({n}({tok}), 0), 1)), 6) AS proxy_ppl
+  FROM {src} d LEFT JOIN {out}_hits h ON d.doc_id = h.doc_id
+)"""
+
+
+def _ccnet_quality_buckets(dialect: str, cap: int = 1000) -> str:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020
+    §4.3, public paper): every document lands in the head / middle /
+    tail third of ITS LANGUAGE's quality distribution, by ascending
+    proxy perplexity (head = most fluent). Pipelines keep head+middle
+    or weight buckets differently — this emits the assignment plus the
+    score so either policy is a filter away.
+
+    Scale shape — the part that matters at 10^12 docs: a naive
+    ``ntile(3) OVER (PARTITION BY lang ORDER BY score)`` is a
+    PER-LANGUAGE TOTAL ORDER — the 'en' partition serializes onto one
+    reducer. Instead, tertile cutoffs are estimated from a
+    deterministic md5-coin sample capped at ~{cap} docs per language
+    (same resumable-coin machinery as the samplers), so the only sort
+    anywhere runs over ≤{cap} rows per language; the corpus itself is
+    scored in one scan (stopword hits via a broadcast VALUES join +
+    per-doc partial agg) and assigned by comparing against the
+    BROADCAST cutoff table. Sampling first and scoring only the sample
+    keeps the second score emission bounded: the coin is a pure
+    function of doc_id, pushed to the scan. Cutoff estimates are
+    binomial-sample-exact, not corpus-exact — the documented CCNet
+    trade (their cutoffs come from a sample of Common Crawl too)."""
+    vals = ", ".join(f"('{w}', '{lg}')" for w, lg in _STOPWORDS)
+    if dialect == "spark":
+        stop = f"SELECT * FROM VALUES {vals} AS stop(w, slang)"
+    else:
+        stop = f"SELECT * FROM (VALUES {vals}) AS stop(w, slang)"
+    u = _sample_uniform_hex(dialect, "ccnet")
+    rate = f"least(1.0, CAST({cap} AS DOUBLE) / lc.n_lang)"
+    thr = _rate_threshold_hex(dialect, rate)
+    return f"""
+WITH stop AS ({stop}),
+lc AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+),
+samp_docs AS (
+  SELECT /*+ BROADCAST(lc) */ d.doc_id, d.lang, d.text
+  FROM documents d JOIN lc ON d.lang = lc.lang
+  WHERE lc.n_lang <= {cap} OR {u} < {thr}
+),
+{_fluency_scored(dialect, "samp_docs", "samp_scored")},
+ranked AS (
+  SELECT lang, proxy_ppl,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY proxy_ppl, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp_scored
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN rn = greatest(CAST(ceil(n / 3.0) AS INT), 1)
+                  THEN proxy_ppl END) AS cut_head,
+         max(CASE WHEN rn = greatest(CAST(ceil(2.0 * n / 3.0) AS INT), 1)
+                  THEN proxy_ppl END) AS cut_middle
+  FROM ranked GROUP BY lang
+),
+{_fluency_scored(dialect, "documents", "scored")}
+SELECT /*+ BROADCAST(cuts) */ s.doc_id, s.lang, s.proxy_ppl,
+       CASE WHEN s.proxy_ppl <= c.cut_head THEN 'head'
+            WHEN s.proxy_ppl <= c.cut_middle THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+"""
+
+
 def _dedup_substring_spans(dialect: str, k: int = 5) -> str:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better", public
@@ -1924,6 +2015,10 @@ SQL_QUERIES["conv_tool_sanity"] = (
 SQL_QUERIES["quality_encoding"] = (
     _quality_encoding("spark"),
     _quality_encoding("duckdb"),
+)
+SQL_QUERIES["ccnet_quality_buckets"] = (
+    _ccnet_quality_buckets("spark"),
+    _ccnet_quality_buckets("duckdb"),
 )
 SQL_QUERIES["conv_pii_quarantine"] = (
     _conv_pii_quarantine("spark"),

@@ -1919,3 +1919,77 @@ def test_all_document_queries_degenerate_corpus_parity(spark):
         assert norm(s, cols).equals(norm(d, cols)), name
         checked += 1
     assert checked >= 34
+
+
+def test_ccnet_quality_buckets_hand_corpus(spark):
+    """ccnet_quality_buckets on a hand corpus: stopword-dense text
+    lands in head, stopword-free junk in tail, per language; the
+    DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        # en: three fluency levels (stopword density 3/6, 1/6, 0/6)
+        (1, "the cat and the dog of", "en"),
+        (2, "cat runs fast and jumps high", "en"),
+        (3, "xyzzy plugh quux frobnicate baz qux", "en"),
+        # de: same construction with German stopwords
+        (4, "und der hund ist die", "de"),
+        (5, "hund rennt schnell und springt", "de"),
+        (6, "qwertz asdfgh yxcvbn poiuzt", "de"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).createOrReplaceTempView("documents")
+    got = (
+        spark.sql(SQL_QUERIES["ccnet_quality_buckets"][0])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    for r in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)", list(r))
+    want = (
+        con.sql(SQL_QUERIES["ccnet_quality_buckets"][1])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert got.bucket.tolist() == [
+        "head", "middle", "tail", "head", "middle", "tail"
+    ]
+    # most-fluent docs score lowest proxy perplexity
+    assert got.proxy_ppl[0] < got.proxy_ppl[1] < got.proxy_ppl[2]
+
+
+def test_ccnet_quality_buckets_tertiles_on_corpus(spark):
+    """On the real corpus (n_lang < sample cap, so cutoffs are exact):
+    every doc is assigned, each language splits into three near-equal
+    buckets, and bucket order is monotone in proxy_ppl."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    r = spark.sql(SQL_QUERIES["ccnet_quality_buckets"][0]).toPandas()
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert len(r) == docs and r.doc_id.is_unique
+    assert set(r.bucket) == {"head", "middle", "tail"}
+    for lang, g in r.groupby("lang"):
+        counts = g.bucket.value_counts()
+        # ties at a cutoff can shift a few docs across the boundary
+        assert counts.max() - counts.min() <= max(3, len(g) // 10), lang
+        assert (
+            g[g.bucket == "head"].proxy_ppl.max()
+            <= g[g.bucket == "middle"].proxy_ppl.min() + 1e-9
+        ), lang
+        assert (
+            g[g.bucket == "middle"].proxy_ppl.max()
+            <= g[g.bucket == "tail"].proxy_ppl.min() + 1e-9
+        ), lang
