@@ -57,6 +57,7 @@ HEADLINE_QUERIES = [
     "conv_pii_quarantine",
     "conv_select_final",
     "ccnet_quality_buckets",
+    "transcript_export_final",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -2403,6 +2403,96 @@ SQL_QUERIES["conv_select_final"] = (
 )
 
 
+def _transcript_export_final(dialect: str) -> str:
+    """The conversation-pipeline WRITER: the turn stream a training-data
+    export materializes. Conversation gate: ``conv_select_final``
+    (embedded as a CTE — nested-WITH is supported by both engines).
+    Turn gate inside surviving conversations: the heuristic quality
+    keep AND the encoding gate — except ``role='tool'`` turns, which
+    are exempt from the PROSE-quality gate (tool output is legitimately
+    non-linguistic; dropping it would break the tool-call protocol the
+    conversation gate just validated) but still must pass the encoding
+    gate. Exported text is PII-scrubbed (the ``pii_scrub_sql`` chain),
+    and each turn carries its token count, its running token offset
+    within the conversation's exported stream, and its densified output
+    turn index — the bookkeeping a packing writer consumes directly.
+
+    Scale shape: the conversation verdict table is conv-LEVEL and
+    arrives already hash-partitioned by conv_id from its own rollup;
+    the turn side needs the same conv_id exchange for the offset/index
+    windows, so the join and both windows ride one exchange. Scrub and
+    token counts are scan-side JVM regex/array expressions; no
+    turn-level shuffle carries unscrubbed text out of the operator."""
+    toks_out = _tokens(dialect, "text_out")
+    n = "size" if dialect == "spark" else "len"
+    email, ssn, ip = _pii_pats(dialect)
+    g = "" if dialect == "spark" else ", 'g'"
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{email}', '[EMAIL]'{g}),"
+        f" '{ssn}', '[SSN]'{g}),"
+        f" '{ip}', '[IP]'{g})"
+    )
+    keep = _KEEP_EXPR_SPARK if dialect == "spark" else _KEEP_EXPR_DUCK
+    repl = "�"
+    if dialect == "spark":
+        ctrl = (
+            "length(coalesce(text, '')) - length(regexp_replace("
+            "coalesce(text, ''),"
+            " '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', ''))"
+        )
+    else:
+        ctrl = (
+            "length(coalesce(text, '')) - length(regexp_replace("
+            "coalesce(text, ''),"
+            " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))"
+        )
+    nrepl = (
+        f"length(coalesce(text, '')) -"
+        f" length(replace(coalesce(text, ''), '{repl}', ''))"
+    )
+    enc_ok = (
+        f"({ctrl} = 0 AND {nrepl}"
+        f" <= 0.001 * length(coalesce(text, '')))"
+    )
+    win = "(PARTITION BY conv_id ORDER BY turn_idx)"
+    wsum = (
+        "(PARTITION BY conv_id ORDER BY turn_idx"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH sel AS ({_conv_select_final(dialect)}),
+{_transcript_turns_cte(dialect, with_role=True)},
+gated AS (
+  SELECT conv_id, turn_idx, role,
+         {scrub} AS text_out,
+         CASE WHEN role = 'tool' THEN (CASE WHEN {enc_ok} THEN 1 ELSE 0 END)
+              ELSE (CASE WHEN {keep} AND {enc_ok} THEN 1 ELSE 0 END)
+         END AS keep_turn
+  FROM turns
+),
+exported AS (
+  SELECT g.conv_id, g.turn_idx, g.role, g.text_out,
+         -- total on NULL text (an exportable tool turn may carry none):
+         -- Spark size(NULL)=-1 vs DuckDB len(NULL)=NULL both clamp to 0
+         greatest(coalesce({n}({toks_out}), 0), 0) AS n_tok
+  FROM gated g JOIN sel ON g.conv_id = sel.conv_id
+  WHERE sel.selected AND g.keep_turn = 1
+)
+SELECT conv_id, turn_idx, role, text_out AS text,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(sum(n_tok) OVER {wsum} - n_tok AS BIGINT) AS start_offset,
+       CAST(row_number() OVER {win} AS INT) AS out_turn_idx
+FROM exported
+"""
+
+
+SQL_QUERIES["transcript_export_final"] = (
+    _transcript_export_final("spark"),
+    _transcript_export_final("duckdb"),
+)
+
+
 def conv_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation keep-rate through the engine's SKEW-SAFE salted
     two-phase aggregation (``engine.pipeline.conversation_stats``: a

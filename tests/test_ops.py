@@ -1993,3 +1993,88 @@ def test_ccnet_quality_buckets_tertiles_on_corpus(spark):
             g[g.bucket == "middle"].proxy_ppl.max()
             <= g[g.bucket == "tail"].proxy_ppl.min() + 1e-9
         ), lang
+
+
+def test_transcript_export_final_hand_corpus(spark):
+    """transcript_export_final on a hand corpus: dropped-duplicate
+    conversations export nothing, junk turns are gated out inside
+    surviving conversations, PII is scrubbed in the exported text, and
+    the packing bookkeeping (densified out_turn_idx, tiling offsets)
+    is consistent; DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    clean = "this is a perfectly reasonable sentence about software"
+    rows = [
+        # conv-2 / conv-3 duplicates: conv-3 must not be exported
+        (2, clean + " two"),
+        (52, clean + " fifty two"),
+        (3, clean + " two"),
+        (53, clean + " fifty two"),
+        # conv-4: one junk turn (gated out) + one PII turn (scrubbed)
+        (4, clean + " four"),
+        (54, "@@@@@@@@@@"),
+        (104, "write to bob@example.com " + clean),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    got = (
+        spark.sql(SQL_QUERIES["transcript_export_final"][0])
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = (
+        con.sql(SQL_QUERIES["transcript_export_final"][1])
+        .df()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert "conv-3" not in set(got.conv_id), "duplicate conv not exported"
+    sel = (
+        spark.sql(SQL_QUERIES["conv_select_final"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert set(got.conv_id) <= set(sel[sel.selected].index)
+    if "conv-4" in set(got.conv_id):
+        c4 = got[got.conv_id == "conv-4"]
+        assert 1 not in set(c4.turn_idx), "junk turn gated out"
+        assert not c4.text.str.contains("bob@example.com").any()
+        assert c4.text.str.contains("[EMAIL]", regex=False).any()
+    for _, g in got.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        assert g.out_turn_idx.tolist() == list(range(1, len(g) + 1))
+        ends = (g.start_offset + g.n_tok).tolist()
+        assert g.start_offset.tolist() == [0] + ends[:-1], "offsets tile"
+
+
+def test_transcript_export_final_invariants_on_corpus(spark):
+    """On the real corpus: every exported conversation is a selected
+    conversation, exported turn streams tile their token offsets, and
+    no exported text matches the raw PII patterns."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    e = spark.sql(SQL_QUERIES["transcript_export_final"][0]).toPandas()
+    sel = (
+        spark.sql(SQL_QUERIES["conv_select_final"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(e) > 0
+    assert set(e.conv_id) == set(sel[sel.selected].index)
+    for _, g in e.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        assert g.out_turn_idx.tolist() == list(range(1, len(g) + 1))
+        ends = (g.start_offset + g.n_tok).tolist()
+        assert g.start_offset.tolist() == [0] + ends[:-1]
+    assert not e.text.str.contains(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", regex=True
+    ).any()
