@@ -58,6 +58,7 @@ HEADLINE_QUERIES = [
     "conv_select_final",
     "ccnet_quality_buckets",
     "transcript_export_final",
+    "model_train_ngrams",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final
@@ -73,6 +74,7 @@ DF_QUERIES = [
     "dedup_fingerprint_pairs_df",
     "corpus_token_budget",
     "dedup_incremental",
+    "model_train_df",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -128,6 +130,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         dedup_minhash_cc,
         fingerprint_pairs_df,
         jaccard_pairs_df,
+        model_train_df,
     )
     from lingua_spark.ops.budget import token_budget_select
     from lingua_spark.ops.incremental import dedup_incremental_bloom
@@ -142,6 +145,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         "dedup_fingerprint_pairs_df": fingerprint_pairs_df,
         "corpus_token_budget": token_budget_select,
         "dedup_incremental": dedup_incremental_bloom,
+        "model_train_df": model_train_df,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

@@ -829,6 +829,125 @@ SQL_QUERIES["conversation_tracker_batch"] = (
     _conversation_tracker_batch("duckdb"),
 )
 SQL_QUERIES["pii_scrub_sql"] = (_pii_scrub("spark"), _pii_scrub("duckdb"))
+def _model_train_ngrams(dialect: str, max_n: int = 5) -> str:
+    """DISTRIBUTED model training: the reference's build-time language
+    model generation (GenerateLanguageModelsTask.kt:176-187 semantics —
+    for n>=2, freq(ngram) = count(ngram) / count((n-1)-prefix); for
+    unigrams, count / total letters; letter-only n-grams over cleaned
+    text, n = 1..{max_n}) re-expressed as one Spark job over the corpus
+    table. ``models.train_models`` is the driver-side twin (same
+    semantics, pandas Counters) used for the in-repo synthetic corpus;
+    this is the 100 TB path — the reference trains from flat files on
+    one machine, which does not scale past build-time corpus sizes.
+    Output (lang, n, ngram, freq float32) is exactly the model-table
+    schema ``write_model_table`` / ``PackedModels.from_table`` consume,
+    so a corpus-scale training run feeds the same broadcast lookup
+    machinery. Bit-parity with train_models is pinned by pytest.
+
+    Scale shape: ONE scan; every n-gram of every length is emitted from
+    a single nested-transform explode (no per-n corpus rescan); counts
+    are a (lang, n, ngram)-keyed groupBy — map-side partial aggregation
+    absorbs the Zipfian head ('e', 'th') before the exchange, so hot
+    n-grams never concentrate raw rows on a reducer. The denominator
+    join is aggregate-table vs aggregate-table on (lang, n-1, prefix) —
+    M-sized, not corpus-sized — and the unigram totals collapse to
+    #langs rows broadcast into the final projection."""
+    return (
+        f"WITH counts AS ({_model_train_counts_sql(dialect, max_n)})"
+        f"{_model_train_final_sql()}"
+    )
+
+
+def _model_train_counts_sql(dialect: str, max_n: int = 5) -> str:
+    """(lang, n, ngram) -> count over every letter-only n-gram of the
+    cleaned corpus, n = 1..{max_n}, all lengths from ONE nested-
+    transform explode (no per-n corpus rescan)."""
+    c = _cleaned(dialect)
+    if dialect == "spark":
+        grams = (
+            "explode(flatten(transform(sequence(1, MAXN), n ->"
+            " CASE WHEN length(c) >= n THEN"
+            " transform(sequence(1, length(c) - n + 1),"
+            " i -> struct(n AS n, substring(c, i, n) AS g))"
+            " ELSE array() END)))"
+        ).replace("MAXN", str(max_n))
+        letter = "g rlike '^[\\\\p{L}]+$'"
+    else:
+        grams = (
+            "unnest(flatten(list_transform(range(1, MAXN + 1), n ->"
+            " CASE WHEN length(c) >= n THEN"
+            " list_transform(range(1, length(c) - n + 2),"
+            " i -> {'n': n, 'g': substring(c, i::INT, n::INT)})"
+            " ELSE [] END)))"
+        ).replace("MAXN", str(max_n))
+        letter = "regexp_matches(g, '^\\p{L}+$')"
+    return f"""
+SELECT lang, n, g, count(*) AS c FROM (
+  SELECT lang, t.n AS n, t.g AS g FROM (
+    SELECT lang, {grams} AS t FROM
+      (SELECT lang, coalesce({c}, '') AS c FROM documents)
+  ) raw
+) x WHERE {letter}
+GROUP BY lang, n, g
+"""
+
+
+def _model_train_final_sql(counts_ref: str = "counts") -> str:
+    """freq derivation over a counts relation (same text both dialects).
+    Unigram totals are a WINDOW over the aggregate table, not another
+    reference to it — Spark inlines CTEs, so every reference would
+    re-explode the corpus."""
+    return f"""
+SELECT c1.lang, CAST(c1.n AS INT) AS n, c1.g AS ngram,
+       CAST(CASE WHEN c1.n = 1
+                 THEN CAST(c1.c AS DOUBLE) / c1.uni_total
+                 ELSE CAST(c1.c AS DOUBLE) / cp.c END AS FLOAT) AS freq
+FROM (
+  SELECT lang, n, g, c,
+         sum(CASE WHEN n = 1 THEN c END) OVER (PARTITION BY lang)
+           AS uni_total
+  FROM {counts_ref}
+) c1
+LEFT JOIN {counts_ref} cp
+  ON c1.n >= 2 AND cp.lang = c1.lang AND cp.n = c1.n - 1
+ AND cp.g = substring(c1.g, 1, c1.n - 1)
+WHERE c1.n = 1 OR cp.c IS NOT NULL
+"""
+
+
+SQL_QUERIES["model_train_ngrams"] = (
+    _model_train_ngrams("spark"),
+    _model_train_ngrams("duckdb"),
+)
+
+
+def model_train_df(
+    spark: SparkSession, sf_dir: str, release_cache: bool = True
+) -> DataFrame:
+    """One-scan twin of ``model_train_ngrams`` — the shape a real
+    corpus-scale training run uses: the (lang, n, ngram) count table is
+    materialized ONCE (MEMORY_AND_DISK persist; the corpus-sized
+    explode+aggregate runs exactly once) and both the unigram-total
+    window and the prefix-denominator join read the cached aggregate.
+    The pure-SQL form re-derives counts per reference (2 corpus scans —
+    Spark inlines CTEs); at 10^12 turns that doubles the dominant
+    stage. Output is value-identical (pytest-pinned vs the SQL form and
+    bit-identical vs driver-side ``models.train_models``) and feeds
+    ``write_model_table`` / ``PackedModels.from_table`` directly."""
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    counts = spark.sql(_model_train_counts_sql("spark"))
+    counts.persist(StorageLevel.MEMORY_AND_DISK)
+    counts.createOrReplaceTempView("__model_train_counts")
+    out = spark.sql(_model_train_final_sql("__model_train_counts"))
+    if release_cache:
+        # eager materialization (same hygiene as jaccard_pairs_df): the
+        # model table is localCheckpointed, then the corpus-sized cache
+        # is released; callers get a plan decoupled from the cache
+        out = out.localCheckpoint(eager=True)
+        counts.unpersist(blocking=False)
+    return out
 SQL_QUERIES["langid_stopwords"] = (
     _stopword_langid("spark"),
     _stopword_langid("duckdb"),

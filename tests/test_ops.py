@@ -2078,3 +2078,140 @@ def test_transcript_export_final_invariants_on_corpus(spark):
     assert not e.text.str.contains(
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", regex=True
     ).any()
+
+
+def test_model_train_ngrams_hand_corpus(spark):
+    """Distributed trainer on a hand corpus with hand-computed
+    frequencies: unigram freq = count/total letters, n>=2 freq =
+    count/count(prefix); cleanup strips digits/punctuation before
+    n-gram extraction; DuckDB twin agrees."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [(1, "aab", "en"), (2, "a1b!", "de")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).createOrReplaceTempView("documents")
+    got = (
+        spark.sql(SQL_QUERIES["model_train_ngrams"][0])
+        .toPandas()
+        .sort_values(["lang", "n", "ngram"])
+        .reset_index(drop=True)
+    )
+    want = [
+        # de: cleaned 'ab' (digit and punctuation stripped); bigram
+        # denom is the prefix-'a' count (1), not the unigram total
+        ("de", 1, "a", 0.5), ("de", 1, "b", 0.5), ("de", 2, "ab", 1.0),
+        # en: 'aab' -> a:2/3 b:1/3; aa:1/2 ab:1/2 (prefix 'a' count 2);
+        # aab: 1/1 (prefix 'aa' count 1)
+        ("en", 1, "a", 2 / 3), ("en", 1, "b", 1 / 3),
+        ("en", 2, "aa", 0.5), ("en", 2, "ab", 0.5),
+        ("en", 3, "aab", 1.0),
+    ]
+    import numpy as np
+
+    assert [
+        (r.lang, r.n, r.ngram) for r in got.itertuples(index=False)
+    ] == [(w[0], w[1], w[2]) for w in want]
+    assert np.allclose(got.freq, [np.float32(w[3]) for w in want], atol=0)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    for r in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)", list(r))
+    duck = (
+        con.sql(SQL_QUERIES["model_train_ngrams"][1])
+        .df()
+        .sort_values(["lang", "n", "ngram"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(duck.astype(got.dtypes.to_dict()))
+
+
+def test_model_train_ngrams_bit_matches_driver_trainer(spark):
+    """The Spark trainer must produce EXACTLY the rows and float32
+    frequencies of the driver-side reference-semantics trainer
+    (models.train_models) on the same corpus — the property that lets a
+    corpus-scale training run feed the same broadcast lookup machinery
+    as build-time models."""
+    import pandas as pd
+
+    from lingua_spark.models import train_models
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = (
+        spark.sql(SQL_QUERIES["model_train_ngrams"][0])
+        .toPandas()
+        .sort_values(["lang", "n", "ngram"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = {lang: g.text.tolist() for lang, g in docs.groupby("lang")}
+    want = (
+        train_models(corpus)
+        .sort_values(["lang", "n", "ngram"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.lang.values == want.lang.values).all()
+    assert (got.n.values == want.n.values.astype(got.n.dtype)).all()
+    assert (got.ngram.values == want.ngram.values).all()
+    assert (
+        got.freq.values.astype("float32") == want.freq.values
+    ).all(), "float32 frequencies must be bit-identical"
+    # the SQL output round-trips through the model-table sink/scan
+    # (PackedModels grouping keys on the 79-language enum names, so the
+    # ISO-coded synthetic corpus exercises the I/O schema instead)
+    import tempfile
+
+    from lingua_spark.models import read_model_table, write_model_table
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/model.parquet"
+        write_model_table(
+            got.astype({"lang": "string", "n": "int8", "ngram": "string",
+                        "freq": "float32"}),
+            path,
+        )
+        back = read_model_table(path)
+        assert len(back) == len(got)
+
+
+def test_model_train_df_one_scan_twin(spark):
+    """model_train_df (persisted-counts, one corpus scan) is
+    value-identical to the SQL form; lazy mode shows both count
+    consumers reading the cache; default mode leaves no DataFrame
+    cache registered."""
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        model_train_df,
+        register_views,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    register_views(spark, sfd)
+    key = ["lang", "n", "ngram"]
+    sql_form = (
+        spark.sql(SQL_QUERIES["model_train_ngrams"][0])
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    lazy = model_train_df(spark, sfd, release_cache=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    got_lazy = lazy.toPandas().sort_values(key).reset_index(drop=True)
+    assert got_lazy.equals(sql_form)
+    spark.catalog.clearCache()
+
+    got = (
+        model_train_df(spark, sfd)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(sql_form)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
