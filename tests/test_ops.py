@@ -2215,3 +2215,41 @@ def test_model_train_df_one_scan_twin(spark):
     )
     assert got.equals(sql_form)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_model_train_df_feeds_packed_detection_models(spark):
+    """End-to-end train-at-scale story: models trained by the Spark
+    trainer over an enum-named transcript corpus are bit-identical to
+    the driver trainer's AND load into the packed broadcast lookup
+    (PackedModels.from_table) with nonzero payload — a corpus-scale
+    training run can replace the build-time models wholesale."""
+    from lingua_spark.corpus import training_lines
+    from lingua_spark.models import PackedModels, train_models
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    langs = ["ENGLISH", "GERMAN", "FRENCH"]
+    corpus = {lg: training_lines(lg, n_lines=40) for lg in langs}
+    rows = [
+        (i * 1000 + j, line, lg)
+        for i, lg in enumerate(langs)
+        for j, line in enumerate(corpus[lg])
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).createOrReplaceTempView("documents")
+    key = ["lang", "n", "ngram"]
+    got = (
+        spark.sql(SQL_QUERIES["model_train_ngrams"][0])
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = train_models(corpus).sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got.ngram.values == want.ngram.values).all()
+    assert (got.freq.values.astype("float32") == want.freq.values).all()
+    packed = PackedModels.from_table(
+        got.astype({"lang": "string", "n": "int8", "ngram": "string",
+                    "freq": "float32"})
+    )
+    assert packed.nbytes() > 0
