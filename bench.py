@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "ccnet_quality_buckets",
     "transcript_export_final",
     "model_train_ngrams",
+    "conv_drop_attribution",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -2522,6 +2522,36 @@ SQL_QUERIES["conv_select_final"] = (
 )
 
 
+def _conv_drop_attribution(dialect: str) -> str:
+    """Conversation-level drop ATTRIBUTION rollup: per ``drop_reason``
+    (the priority-ordered first-failure from ``conv_select_final``),
+    how many conversations and turns land there and each reason's share
+    of all conversations — the audit table a curation run reports so
+    every dropped conversation is accounted for. The share denominator
+    is a window over the (≤7-row) aggregate, not a second reference to
+    the selection CTE — Spark inlines CTEs, so a scalar subquery would
+    re-run the whole gate pipeline."""
+    return f"""
+WITH sel AS ({_conv_select_final(dialect)}),
+g AS (
+  SELECT drop_reason, count(*) AS n_convs, sum(n_turns) AS n_turns
+  FROM sel GROUP BY drop_reason
+)
+SELECT drop_reason,
+       CAST(n_convs AS BIGINT) AS n_convs,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       round(CAST(n_convs AS DOUBLE) / sum(n_convs) OVER (), 4)
+         AS conv_share
+FROM g
+"""
+
+
+SQL_QUERIES["conv_drop_attribution"] = (
+    _conv_drop_attribution("spark"),
+    _conv_drop_attribution("duckdb"),
+)
+
+
 def _transcript_export_final(dialect: str) -> str:
     """The conversation-pipeline WRITER: the turn stream a training-data
     export materializes. Conversation gate: ``conv_select_final``

@@ -2253,3 +2253,20 @@ def test_model_train_df_feeds_packed_detection_models(spark):
                     "freq": "float32"})
     )
     assert packed.nbytes() > 0
+
+
+def test_conv_drop_attribution_accounts_for_every_conversation(spark):
+    """The attribution rollup partitions the conversation set exactly:
+    counts sum to the number of conversations, shares sum to 1, and
+    each reason's count matches conv_select_final's verdicts."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    a = spark.sql(SQL_QUERIES["conv_drop_attribution"][0]).toPandas()
+    sel = spark.sql(SQL_QUERIES["conv_select_final"][0]).toPandas()
+    assert a.n_convs.sum() == len(sel)
+    assert a.n_turns.sum() == sel.n_turns.sum()
+    assert abs(a.conv_share.sum() - 1.0) < 1e-6
+    want = sel.drop_reason.value_counts()
+    for _, r in a.iterrows():
+        assert r.n_convs == want[r.drop_reason], r.drop_reason
