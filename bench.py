@@ -60,6 +60,7 @@ HEADLINE_QUERIES = [
     "transcript_export_final",
     "model_train_ngrams",
     "conv_drop_attribution",
+    "conv_merge_runs",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -2522,6 +2522,92 @@ SQL_QUERIES["conv_select_final"] = (
 )
 
 
+def _conv_merge_runs(dialect: str) -> str:
+    """Transcript NORMALIZATION: merge runs of consecutive same-role
+    user/assistant turns into one message (chat logs routinely split a
+    single logical message across turns; training-format writers merge
+    them back). Tool turns NEVER merge — consecutive tool results are
+    distinct protocol events — and they break any surrounding run.
+    Output: one row per merged message with the run's role, texts
+    concatenated in turn order (newline-joined), the member count and
+    the first member's turn_idx, plus a densified ``merged_idx``.
+
+    Scale shape: the classic gaps-and-islands chain — one lag window
+    (run-break flags), one running sum (island ids), one
+    groupBy(conv_id, island) with the ordered concat built inside the
+    aggregation buffer — all keyed on conv_id, so ONE scan and ONE
+    turn-level exchange; the merged-index window runs over the already
+    conversation-partitioned aggregate.
+
+    Role synthesis: the SHARED parity mapping alternates user/assistant
+    on every turn, so same-role adjacency can never occur and the merge
+    path would go ungraded; this operator therefore assigns non-tool
+    roles in BLOCKS of three turns (same md5 tool coin), giving the
+    synthetic corpus genuine runs to merge."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    turns_cte = f"""turns AS (
+  SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS conv_id,
+         CAST(floor(doc_id / 50.0) AS INT) AS turn_idx,
+         CASE WHEN substr(md5(concat('role:', CAST(doc_id AS {cast}))),
+                          1, 2) < '14' THEN 'tool'
+              WHEN CAST(floor(doc_id / 150.0) AS INT) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text
+  FROM documents
+)"""
+    if dialect == "spark":
+        merged = (
+            "array_join(transform("
+            "array_sort(collect_list(struct(turn_idx, text))),"
+            " s -> s.text), char(10))"
+        )
+    else:
+        merged = "string_agg(text, chr(10) ORDER BY turn_idx)"
+    return f"""
+WITH {turns_cte},
+seq AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN role = 'tool'
+               OR lag(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) IS NULL
+               OR lag(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) <> role
+               OR lag(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) = 'tool'
+              THEN 1 ELSE 0 END AS brk
+  FROM turns
+),
+isl AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS g
+  FROM seq
+),
+runs AS (
+  SELECT conv_id, g, min(role) AS role,
+         {merged} AS text,
+         count(*) AS n_merged,
+         min(turn_idx) AS first_turn_idx
+  FROM isl GROUP BY conv_id, g
+)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id
+                               ORDER BY first_turn_idx) AS INT)
+         AS merged_idx,
+       role, text,
+       CAST(n_merged AS BIGINT) AS n_merged,
+       CAST(first_turn_idx AS INT) AS first_turn_idx
+FROM runs
+"""
+
+
+SQL_QUERIES["conv_merge_runs"] = (
+    _conv_merge_runs("spark"),
+    _conv_merge_runs("duckdb"),
+)
+
+
 def _conv_drop_attribution(dialect: str) -> str:
     """Conversation-level drop ATTRIBUTION rollup: per ``drop_reason``
     (the priority-ordered first-failure from ``conv_select_final``),

@@ -2270,3 +2270,76 @@ def test_conv_drop_attribution_accounts_for_every_conversation(spark):
     want = sel.drop_reason.value_counts()
     for _, r in a.iterrows():
         assert r.n_convs == want[r.drop_reason], r.drop_reason
+
+
+def test_conv_merge_runs_matches_pandas_twin(spark):
+    """conv_merge_runs vs an INDEPENDENT pandas implementation of the
+    merge policy (same md5-coin role synthesis recomputed with hashlib):
+    runs of consecutive same-role user/assistant turns merge
+    newline-joined in turn order, tool turns never merge and break
+    runs; every turn is accounted for exactly once."""
+    import hashlib
+
+    import pandas as pd
+
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = (
+        spark.sql(SQL_QUERIES["conv_merge_runs"][0])
+        .toPandas()
+        .sort_values(["conv_id", "merged_idx"])
+        .reset_index(drop=True)
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def role_of(doc_id):
+        coin = hashlib.md5(f"role:{doc_id}".encode()).hexdigest()[:2]
+        if coin < "14":
+            return "tool"
+        return "user" if (doc_id // 150) % 2 == 0 else "assistant"
+
+    rows = []
+    for _, r in docs.iterrows():
+        rows.append(
+            (f"conv-{r.doc_id % 50}", int(r.doc_id // 50),
+             role_of(int(r.doc_id)), r.text)
+        )
+    want_rows = []
+    for conv, g in pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text"]
+    ).groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        runs = []
+        for t in g.itertuples(index=False):
+            if (
+                runs
+                and t.role not in ("tool",)
+                and runs[-1]["role"] == t.role
+            ):
+                runs[-1]["texts"].append(t.text)
+                runs[-1]["n"] += 1
+            else:
+                runs.append(
+                    {"role": t.role, "texts": [t.text], "n": 1,
+                     "first": t.turn_idx}
+                )
+        for i, r in enumerate(runs):
+            want_rows.append(
+                (conv, i + 1, r["role"], "\n".join(r["texts"]), r["n"],
+                 r["first"])
+            )
+    want = (
+        pd.DataFrame(
+            want_rows,
+            columns=["conv_id", "merged_idx", "role", "text", "n_merged",
+                     "first_turn_idx"],
+        )
+        .sort_values(["conv_id", "merged_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert got.n_merged.sum() == len(docs)
+    assert (got[got.role == "tool"].n_merged == 1).all()
+    assert (got.n_merged > 1).any(), "the block mapping must produce runs"
