@@ -2343,3 +2343,42 @@ def test_conv_merge_runs_matches_pandas_twin(spark):
     assert got.n_merged.sum() == len(docs)
     assert (got[got.role == "tool"].n_merged == 1).all()
     assert (got.n_merged > 1).any(), "the block mapping must produce runs"
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan gates for the round-4 additions: scan counts and join
+    strategies regress loudly, not silently. Exact exchange counts are
+    pinned where the operator's docstring claims them."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+
+    def plan_of(name):
+        df = spark.sql(SQL_QUERIES[name][0])
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # conv_merge_runs: ONE scan, ONE turn-level exchange (windows, the
+    # (conv_id, g) groupBy and the merged-idx window all ride it)
+    p = plan_of("conv_merge_runs")
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    # model_train_ngrams: TWO corpus scans (c1 + denominator branches;
+    # the window removed the third), no sort-merge join at this size
+    p = plan_of("model_train_ngrams")
+    assert p.count("Scan parquet") == 2, p
+
+    # ccnet_quality_buckets: cutoffs and stitches all broadcast — a
+    # sort-merge join would mean a per-language shuffle of the corpus
+    p = plan_of("ccnet_quality_buckets")
+    assert p.count("SortMergeJoin") == 0, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+    # transcript_export_final: three scans (gated turns + the two
+    # conv_select branches), no text-keyed exchange anywhere
+    import re
+
+    p = plan_of("transcript_export_final")
+    assert p.count("Scan parquet") == 3, p
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
+    assert keys and all(not k.startswith("text") for k in keys), keys
