@@ -2391,15 +2391,26 @@ def _conv_select_final(
     engine computes, each surfaced per conversation with a first-failure
     ``drop_reason`` so every dropped conversation is attributable:
 
-    - ``structure_ok``  — user-first, zero alternation violations in the
-      non-tool message sequence (``conv_role_structure`` semantics)
-    - ``tool_ok``       — zero orphan tool turns (``conv_tool_sanity``)
-    - ``loop_ok``       — zero repeated-opening turns (``conv_loop_detect``)
+    - ``structure_ok``  — user-first, alternation-violation rate <= 10%
+      of non-tool transitions (``conv_role_structure`` signals)
+    - ``tool_ok``       — at most half the tool turns orphaned
+      (``conv_tool_sanity`` signals)
+    - ``loop_ok``       — repeated-opening turns <= 10% of turns
+      (``conv_loop_detect`` signals)
     - ``pii_ok``        — PII-turn rate <= {pii_max} (``conv_pii_quarantine``)
     - ``quality_ok``    — per-turn heuristic keep rate >= {quality_min}
       (``quality_keep_sql`` applied per turn)
     - ``dedup_ok``      — the conversation is its exact-duplicate group's
       min-conv_id representative (``conv_dedup_exact`` semantics)
+
+    Every count-derived gate is a RATE, never a zero-tolerance count:
+    a zero-violation requirement makes P(pass) collapse toward 0 as
+    conversations grow (one interleaving glitch anywhere in a 100-turn
+    transcript would discard it — at sf0.1 the zero-tolerance form
+    selected NOTHING), so selection would silently bias the corpus
+    toward short conversations. The standalone validators keep their
+    strict verdicts; selection applies tolerances that are stable in
+    conversation length.
 
     Fusing the gates (rather than joining six materialized operator
     outputs) matters at 10^12 turns: every per-turn signal (quality
@@ -2472,6 +2483,7 @@ conv AS (
          count(*) AS n_turns,
          avg(CAST(q_keep AS DOUBLE)) AS quality_rate,
          avg(CAST(pii AS DOUBLE)) AS pii_rate,
+         sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
          sum(CASE WHEN role = 'tool'
                    AND (prev_role IS NULL OR prev_role <> 'assistant')
                   THEN 1 ELSE 0 END) AS orphan_tool,
@@ -2482,9 +2494,10 @@ conv AS (
 gated AS (
   SELECT c.conv_id, c.n_turns,
          coalesce(m.first_role, '') = 'user'
-           AND coalesce(m.violations, 0) = 0 AS structure_ok,
-         c.orphan_tool = 0 AS tool_ok,
-         c.looped_turns = 0 AS loop_ok,
+           AND coalesce(m.violations, 0) * 10
+               <= greatest(c.n_turns - c.n_tool - 1, 1) AS structure_ok,
+         c.orphan_tool * 2 <= c.n_tool AS tool_ok,
+         c.looped_turns * 10 <= c.n_turns AS loop_ok,
          c.pii_rate <= {pii_max} AS pii_ok,
          c.quality_rate >= {quality_min} AS quality_ok,
          c.conv_id = min(c.conv_id) OVER (PARTITION BY c.conv_key)

@@ -1737,10 +1737,12 @@ def test_conv_select_final_hand_corpus(spark):
 
 def test_conv_select_final_matches_component_gates(spark):
     """On the real corpus: one row per conversation, and every fused
-    gate agrees exactly with the standalone operator it absorbs
-    (conv_role_structure, conv_tool_sanity, conv_loop_detect,
+    gate is the documented RATE function of the standalone operator's
+    signals (conv_role_structure, conv_tool_sanity, conv_loop_detect,
     conv_pii_quarantine, per-turn quality rollup, conv_dedup_exact) —
-    the fusion changes the plan, never the decisions."""
+    the fusion changes the plan, never the decisions. Rate gates (not
+    the validators' strict verdicts) keep selection stable in
+    conversation length: zero-tolerance selected NOTHING at sf0.1."""
     from lingua_spark.ops.queries import SQL_QUERIES, register_views
 
     register_views(spark, "/root/testdata/sf0.001")
@@ -1752,20 +1754,32 @@ def test_conv_select_final_matches_component_gates(spark):
         spark.sql(SQL_QUERIES["conv_role_structure"][0])
         .toPandas()
         .set_index("conv_id")
+        .reindex(by.index)
     )
-    assert by.structure_ok.equals(rs.valid_structure.reindex(by.index))
+    want_structure = (rs.first_role == "user") & (
+        rs.alternation_violations * 10
+        <= (rs.n_turns - rs.n_tool - 1).clip(lower=1)
+    )
+    assert by.structure_ok.equals(want_structure)
+    # the strict validator verdict implies the rate gate, never the
+    # reverse
+    assert (~rs.valid_structure | by.structure_ok).all()
     ts = (
         spark.sql(SQL_QUERIES["conv_tool_sanity"][0])
         .toPandas()
         .set_index("conv_id")
+        .reindex(by.index)
     )
-    assert by.tool_ok.equals(ts.tool_protocol_ok.reindex(by.index))
+    assert by.tool_ok.equals(ts.orphan_tool_turns * 2 <= ts.n_tool)
+    assert (~ts.tool_protocol_ok | by.tool_ok).all()
     ld = (
         spark.sql(SQL_QUERIES["conv_loop_detect"][0])
         .toPandas()
         .set_index("conv_id")
+        .reindex(by.index)
     )
-    assert by.loop_ok.equals(~ld.loop_flag.reindex(by.index))
+    assert by.loop_ok.equals(ld.n_looped_turns * 10 <= ld.n_turns)
+    assert (ld.loop_flag | by.loop_ok).all()
     pq = (
         spark.sql(SQL_QUERIES["conv_pii_quarantine"][0])
         .toPandas()
