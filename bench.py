@@ -61,6 +61,7 @@ HEADLINE_QUERIES = [
     "model_train_ngrams",
     "conv_drop_attribution",
     "conv_merge_runs",
+    "conv_minhash_pairs",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -85,7 +85,9 @@ SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
 """
 
 
-def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
+def _minhash_sig(
+    dialect: str, k: int = 5, n_hashes: int = 8, src: str = "documents"
+) -> str:
     """MinHash signatures over 8-hex-char lanes sliced from md5 digests.
 
     Instead of one md5 per (hash index, shingle) — 8 digests per shingle,
@@ -114,13 +116,13 @@ def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
     if dialect == "spark":
         shingled = (
             f"SELECT doc_id, {digests} FROM (SELECT doc_id, explode({sh})"
-            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents)"
+            f" AS s FROM (SELECT doc_id, {c} AS c FROM {src})"
             f" {nonempty})"
         )
     else:
         shingled = (
             f"SELECT doc_id, {digests} FROM (SELECT doc_id, unnest({sh})"
-            f" AS s FROM (SELECT doc_id, {c} AS c FROM documents)"
+            f" AS s FROM (SELECT doc_id, {c} AS c FROM {src})"
             f" {nonempty})"
         )
     mins = ", ".join(
@@ -144,9 +146,11 @@ def _minhash_sig(dialect: str, k: int = 5, n_hashes: int = 8) -> str:
 LSH_BUCKET_CAP = 64
 
 
-def _minhash_bands(dialect: str) -> str:
+def _minhash_bands(
+    dialect: str, src: str = "documents", k: int = 5
+) -> str:
     """Shared band-key derivation over the signature CTE (4 bands x 2 rows)."""
-    sig = _minhash_sig(dialect)
+    sig = _minhash_sig(dialect, k=k, src=src)
     if dialect == "spark":
         band_arr = ", ".join(f"md5(h{2 * b - 1} || h{2 * b})" for b in range(1, 5))
         return f"""
@@ -164,7 +168,9 @@ WITH sig AS ({sig}),
 bands AS ({bands})"""
 
 
-def _minhash_lsh_pairs(dialect: str, min_bands: int = 1) -> str:
+def _minhash_lsh_pairs(
+    dialect: str, min_bands: int = 1, src: str = "documents", k: int = 5
+) -> str:
     """Band-bucket candidate pairs. The two dialects use different physical
     shapes on purpose: Spark inlines CTEs, so a bands self-join would
     re-evaluate the signature CTE on every reference (8x) — instead bucket
@@ -200,7 +206,7 @@ def _minhash_lsh_pairs(dialect: str, min_bands: int = 1) -> str:
             f" GROUP BY a, b HAVING count(*) >= {min_bands} OR max(star) = 1"
         )
     if dialect == "spark":
-        return f"""{_minhash_bands('spark')},
+        return f"""{_minhash_bands('spark', src, k)},
 buckets AS (
   SELECT band, bkey, sort_array(collect_list(doc_id)) AS ids
   FROM bands GROUP BY band, bkey
@@ -224,7 +230,7 @@ cand AS (
 )
 {final}
 """
-    return f"""{_minhash_bands('duckdb')},
+    return f"""{_minhash_bands('duckdb', src, k)},
 bsize AS (
   SELECT band, bkey, count(*) AS m, min(doc_id) AS min_id
   FROM bands GROUP BY band, bkey
@@ -2532,6 +2538,46 @@ FROM gated
 SQL_QUERIES["conv_select_final"] = (
     _conv_select_final("spark"),
     _conv_select_final("duckdb"),
+)
+
+
+def _conv_minhash_pairs(dialect: str) -> str:
+    """CONVERSATION-level NEAR-duplicate candidate pairs — the fuzzy
+    twin of ``conv_dedup_exact``: agent-log re-runs differ by a few
+    turns (a retry, a changed timestamp echo), so exact canonical-key
+    dedup misses them. A conversation's minhash signature is computed
+    over the UNION of its turns' shingle sets — the source relation
+    simply presents conv_id as the signature key with one row per turn,
+    and the existing signature groupBy aggregates across turns, so no
+    concatenated-conversation string is ever built (a 10^5-turn
+    conversation would make a multi-MB shuffle row; the union shape
+    ships only shingle digests). Downstream banding, the bucket cap,
+    star reduction and the ≥2-band merge threshold are literally the
+    same SQL as the document path (``_minhash_lsh_pairs(src=...)``).
+
+    Shingle length is 10, not the document path's 5: a conversation's
+    shingle UNION grows with turn count, and short shingles drawn from
+    a shared vocabulary saturate — measured on the synthetic corpus,
+    k=5 marks ALL 1,225 conversation pairs as near-dups at sf0.1 while
+    k=14 marks none anywhere; k=10 yields 9 pairs at sf0.01 / 21 at
+    sf0.1, discriminating at both scales. Real transcript re-runs share
+    long verbatim spans, which long shingles capture and shared-vocab
+    noise does not."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    src = (
+        f"(SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS doc_id,"
+        f" text FROM documents)"
+    )
+    inner = _minhash_lsh_pairs(dialect, min_bands=2, src=src, k=10)
+    return f"""
+SELECT doc_a AS conv_a, doc_b AS conv_b
+FROM ({inner}) p
+"""
+
+
+SQL_QUERIES["conv_minhash_pairs"] = (
+    _conv_minhash_pairs("spark"),
+    _conv_minhash_pairs("duckdb"),
 )
 
 

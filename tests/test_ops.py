@@ -2396,3 +2396,54 @@ def test_new_operator_plan_shapes(spark):
     assert p.count("Scan parquet") == 3, p
     keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
     assert keys and all(not k.startswith("text") for k in keys), keys
+
+
+def test_conv_minhash_pairs_finds_planted_rerun(spark):
+    """conv_minhash_pairs on a planted scenario: two conversations
+    sharing 9 of 10 verbatim turns (an agent-log re-run with one
+    retry divergence) pair up; an unrelated same-language conversation
+    does not; DuckDB twin agrees."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    base = [
+        f"the quick brown fox jumps over the lazy dog variant {i} with "
+        f"some shared phrasing about distributed query engines"
+        for i in range(10)
+    ]
+    other = [
+        f"completely different subject matter line {i} discussing the "
+        f"migration of herons across continental flyways in autumn"
+        for i in range(10)
+    ]
+    rows = []
+    for t in range(10):
+        rows.append((t * 50 + 0, base[t]))                   # conv-0
+        rows.append(
+            (t * 50 + 1,
+             base[t] if t < 9 else "a diverging retry turn appears here")
+        )                                                    # conv-1
+        rows.append((t * 50 + 2, other[t]))                  # conv-2
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    got = (
+        spark.sql(SQL_QUERIES["conv_minhash_pairs"][0])
+        .toPandas()
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = (
+        con.sql(SQL_QUERIES["conv_minhash_pairs"][1])
+        .df()
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("conv-0", "conv-1")
+    ]
