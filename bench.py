@@ -78,6 +78,7 @@ DF_QUERIES = [
     "corpus_token_budget",
     "dedup_incremental",
     "model_train_df",
+    "conv_minhash_cc",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -132,6 +133,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         corpus_select_final,
         dedup_minhash_cc,
         fingerprint_pairs_df,
+        conv_minhash_cc,
         jaccard_pairs_df,
         model_train_df,
     )
@@ -149,6 +151,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         "corpus_token_budget": token_budget_select,
         "dedup_incremental": dedup_incremental_bloom,
         "model_train_df": model_train_df,
+        "conv_minhash_cc": conv_minhash_cc,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

@@ -2259,6 +2259,73 @@ def dedup_minhash_cc(
     )
 
 
+def conv_minhash_cc(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Conversation near-dup CLUSTERS: connected components over the
+    ``conv_minhash_pairs`` graph, every conversation labelled
+    (conv_id, cluster_rep, keep) with the min-conv_id representative
+    kept — the conversation-granularity twin of ``dedup_minhash_cc``,
+    turning re-run candidate pairs into the actionable drop list. Same
+    shuffle-parallel label propagation (``ops/graph.py`` — min-label +
+    pointer jumping works unchanged on string ids; ``F.least``/``min``
+    compare lexicographically in both engines), same independent
+    recursive-CTE closure as the oracle, same reliable-checkpoint
+    escape hatch for real clusters. ``sf_dir=None`` runs against an
+    already-registered ``documents`` temp view (hand-corpus tests)."""
+    from .graph import connected_components
+
+    if sf_dir is not None:
+        register_views(spark, sf_dir)
+    pairs = spark.sql(SQL_QUERIES["conv_minhash_pairs"][0])
+    labels = connected_components(
+        pairs, src="conv_a", dst="conv_b", checkpoint_dir=checkpoint_dir
+    )
+    convs = spark.table("documents").select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string"))
+        .alias("conv_id")
+    ).distinct()
+    return (
+        convs.join(
+            labels.withColumnRenamed("doc", "conv_id"), "conv_id", "left"
+        )
+        .select(
+            "conv_id",
+            F.coalesce("rep", F.col("conv_id")).alias("cluster_rep"),
+        )
+        .withColumn("keep", F.col("conv_id") == F.col("cluster_rep"))
+    )
+
+
+def conv_minhash_cc_oracle_sql() -> str:
+    """DuckDB oracle for conv_minhash_cc (independent recursive-CTE
+    transitive closure over the same pair graph)."""
+    pairs = SQL_QUERIES["conv_minhash_pairs"][1]
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({pairs}) p),
+edges AS (
+  SELECT conv_a AS src, conv_b AS dst FROM pairs
+  UNION
+  SELECT conv_b AS src, conv_a AS dst FROM pairs
+),
+reach(conv, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.conv, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+labels AS (SELECT conv, min(r) AS rep FROM reach GROUP BY conv),
+convs AS (
+  SELECT DISTINCT concat('conv-', CAST(doc_id % 50 AS VARCHAR)) AS conv_id
+  FROM documents
+)
+SELECT c.conv_id,
+       coalesce(l.rep, c.conv_id) AS cluster_rep,
+       coalesce(l.rep, c.conv_id) = c.conv_id AS keep
+FROM convs c LEFT JOIN labels l ON c.conv_id = l.conv
+"""
+
+
 def minhash_cc_oracle_sql() -> str:
     """DuckDB oracle for dedup_minhash_cc (see its docstring)."""
     pairs = _minhash_lsh_pairs("duckdb", min_bands=2)

@@ -2447,3 +2447,35 @@ def test_conv_minhash_pairs_finds_planted_rerun(spark):
     assert [tuple(r) for r in got.itertuples(index=False)] == [
         ("conv-0", "conv-1")
     ]
+
+
+def test_conv_minhash_cc_clusters_planted_rerun(spark):
+    """conv_minhash_cc on the planted re-run scenario: the two
+    near-duplicate conversations share a cluster with the min conv_id
+    kept; the unrelated conversation is its own representative."""
+    from lingua_spark.ops.queries import conv_minhash_cc
+
+    base = [
+        f"the quick brown fox jumps over the lazy dog variant {i} with "
+        f"some shared phrasing about distributed query engines"
+        for i in range(10)
+    ]
+    rows = []
+    for t in range(10):
+        rows.append((t * 50 + 0, base[t]))
+        rows.append(
+            (t * 50 + 1,
+             base[t] if t < 9 else "a diverging retry turn appears here")
+        )
+        rows.append((t * 50 + 2, f"unrelated heron migration line {t}"))
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    got = (
+        conv_minhash_cc(spark, sf_dir=None)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert got.loc["conv-0", "keep"] and got.loc["conv-0", "cluster_rep"] == "conv-0"
+    assert not got.loc["conv-1", "keep"]
+    assert got.loc["conv-1", "cluster_rep"] == "conv-0"
+    assert got.loc["conv-2", "keep"]
