@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_embedding_neardup_hot_buckets_query,
         dedup_embedding_neardup_query,
         conv_minhash_cc,
+        conv_select_with_neardup,
         dedup_minhash_cc,
         detect_language_counts,
         detect_language_per_doc,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (iterative label propagation in Spark; recursive-CTE closure oracle)
     out["dedup_minhash_cc"] = dedup_minhash_cc
     out["conv_minhash_cc"] = conv_minhash_cc
+    out["conv_select_with_neardup"] = conv_select_with_neardup
     # same union-find over embedding near-dup pairs (BFS fixture twin)
     from lingua_spark.ops.similarity import dedup_embedding_cc, dedup_semantic
 
@@ -132,12 +134,14 @@ def oracle_sql() -> dict[str, str]:
     # the Spark side's iterative label propagation
     from lingua_spark.ops.queries import (
         conv_minhash_cc_oracle_sql,
+        conv_select_with_neardup_oracle_sql,
         corpus_select_oracle_sql,
         minhash_cc_oracle_sql,
     )
 
     out["dedup_minhash_cc"] = minhash_cc_oracle_sql()
     out["conv_minhash_cc"] = conv_minhash_cc_oracle_sql()
+    out["conv_select_with_neardup"] = conv_select_with_neardup_oracle_sql()
     out["corpus_select_final"] = corpus_select_oracle_sql()
     from lingua_spark.ops.queries import conv_stats_oracle_sql
 

@@ -79,6 +79,7 @@ DF_QUERIES = [
     "dedup_incremental",
     "model_train_df",
     "conv_minhash_cc",
+    "conv_select_with_neardup",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -134,6 +135,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         dedup_minhash_cc,
         fingerprint_pairs_df,
         conv_minhash_cc,
+        conv_select_with_neardup,
         jaccard_pairs_df,
         model_train_df,
     )
@@ -152,6 +154,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         "dedup_incremental": dedup_incremental_bloom,
         "model_train_df": model_train_df,
         "conv_minhash_cc": conv_minhash_cc,
+        "conv_select_with_neardup": conv_select_with_neardup,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

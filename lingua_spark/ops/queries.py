@@ -2297,6 +2297,43 @@ def conv_minhash_cc(
     )
 
 
+def conv_select_with_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversation pipeline's FULL selection — the composition a
+    transcript curation run materializes (conversation twin of
+    ``corpus_select_final``): a conversation ships iff it passes all
+    six ``conv_select_final`` gates AND it is its NEAR-dup cluster's
+    kept representative (``conv_minhash_cc`` — the exact-dup gate
+    inside conv_select_final cannot see one-turn-divergent re-runs).
+    Both decisions surface per conversation for drop attribution."""
+    register_views(spark, sf_dir)
+    sel = spark.sql(SQL_QUERIES["conv_select_final"][0]).select(
+        "conv_id", F.col("selected").alias("keep_gates")
+    )
+    cc = conv_minhash_cc(spark, sf_dir).select(
+        "conv_id", F.col("keep").alias("keep_neardup")
+    )
+    return sel.join(cc, "conv_id").select(
+        "conv_id",
+        "keep_gates",
+        "keep_neardup",
+        (F.col("keep_gates") & F.col("keep_neardup")).alias("selected"),
+    )
+
+
+def conv_select_with_neardup_oracle_sql() -> str:
+    """DuckDB oracle: the recursive-CTE near-dup closure joined onto
+    the gate verdicts."""
+    cc = conv_minhash_cc_oracle_sql()
+    sel = SQL_QUERIES["conv_select_final"][1]
+    return f"""
+WITH cc AS (SELECT * FROM ({cc}) c),
+sel AS ({sel})
+SELECT sel.conv_id, sel.selected AS keep_gates, cc.keep AS keep_neardup,
+       sel.selected AND cc.keep AS selected
+FROM sel JOIN cc ON sel.conv_id = cc.conv_id
+"""
+
+
 def conv_minhash_cc_oracle_sql() -> str:
     """DuckDB oracle for conv_minhash_cc (independent recursive-CTE
     transitive closure over the same pair graph)."""

@@ -2479,3 +2479,29 @@ def test_conv_minhash_cc_clusters_planted_rerun(spark):
     assert not got.loc["conv-1", "keep"]
     assert got.loc["conv-1", "cluster_rep"] == "conv-0"
     assert got.loc["conv-2", "keep"]
+
+
+def test_conv_select_with_neardup_composition(spark):
+    """Full conversation selection = gate verdict AND near-dup
+    representative; on the planted re-run scenario the duplicate
+    conversation is excluded even when its gates pass."""
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        conv_select_with_neardup,
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    full = conv_select_with_neardup(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(full) == 50 and full.conv_id.is_unique
+    assert (full.selected == (full.keep_gates & full.keep_neardup)).all()
+    gates = (
+        spark.sql(SQL_QUERIES["conv_select_final"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert (
+        full.set_index("conv_id").keep_gates == gates.selected
+    ).all()
