@@ -2505,3 +2505,76 @@ def test_conv_select_with_neardup_composition(spark):
     assert (
         full.set_index("conv_id").keep_gates == gates.selected
     ).all()
+
+
+def test_conv_merge_runs_randomized_corpora(spark):
+    """conv_merge_runs vs the pandas twin on three randomized corpora
+    (varying doc_id strides and text pools) — role-pattern diversity
+    the fixed parquet corpus cannot produce."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    def role_of(doc_id):
+        coin = hashlib.md5(f"role:{doc_id}".encode()).hexdigest()[:2]
+        if coin < "14":
+            return "tool"
+        return "user" if (doc_id // 150) % 2 == 0 else "assistant"
+
+    for seed in (7, 19, 4242):
+        rng = np.random.default_rng(seed)
+        doc_ids = rng.choice(5000, size=120, replace=False)
+        rows = [
+            (int(d), f"text body {seed} {d} " + "w" * int(rng.integers(1, 30)))
+            for d in doc_ids
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .createOrReplaceTempView("documents")
+        got = (
+            spark.sql(SQL_QUERIES["conv_merge_runs"][0])
+            .toPandas()
+            .sort_values(["conv_id", "merged_idx"])
+            .reset_index(drop=True)
+        )
+        turns = pd.DataFrame(
+            [
+                (f"conv-{d % 50}", d // 50, role_of(d), t)
+                for d, t in rows
+            ],
+            columns=["conv_id", "turn_idx", "role", "text"],
+        )
+        want_rows = []
+        for conv, g in turns.groupby("conv_id"):
+            g = g.sort_values("turn_idx")
+            runs = []
+            for t in g.itertuples(index=False):
+                if (
+                    runs
+                    and t.role != "tool"
+                    and runs[-1]["role"] == t.role
+                ):
+                    runs[-1]["texts"].append(t.text)
+                    runs[-1]["n"] += 1
+                else:
+                    runs.append(
+                        {"role": t.role, "texts": [t.text], "n": 1,
+                         "first": t.turn_idx}
+                    )
+            for i, r in enumerate(runs):
+                want_rows.append(
+                    (conv, i + 1, r["role"], "\n".join(r["texts"]),
+                     r["n"], r["first"])
+                )
+        want = (
+            pd.DataFrame(
+                want_rows,
+                columns=["conv_id", "merged_idx", "role", "text",
+                         "n_merged", "first_turn_idx"],
+            )
+            .sort_values(["conv_id", "merged_idx"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want.astype(got.dtypes.to_dict())), seed
