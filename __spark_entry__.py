@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         conv_minhash_cc,
         conv_select_with_neardup,
         dedup_minhash_cc,
+        transcript_export_full,
         detect_language_counts,
         detect_language_per_doc,
         jaccard_pairs_df,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_cc"] = dedup_minhash_cc
     out["conv_minhash_cc"] = conv_minhash_cc
     out["conv_select_with_neardup"] = conv_select_with_neardup
+    out["transcript_export_full"] = transcript_export_full
     # same union-find over embedding near-dup pairs (BFS fixture twin)
     from lingua_spark.ops.similarity import dedup_embedding_cc, dedup_semantic
 
@@ -135,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
     from lingua_spark.ops.queries import (
         conv_minhash_cc_oracle_sql,
         conv_select_with_neardup_oracle_sql,
+        transcript_export_full_oracle_sql,
         corpus_select_oracle_sql,
         minhash_cc_oracle_sql,
     )
@@ -142,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_cc"] = minhash_cc_oracle_sql()
     out["conv_minhash_cc"] = conv_minhash_cc_oracle_sql()
     out["conv_select_with_neardup"] = conv_select_with_neardup_oracle_sql()
+    out["transcript_export_full"] = transcript_export_full_oracle_sql()
     out["corpus_select_final"] = corpus_select_oracle_sql()
     from lingua_spark.ops.queries import conv_stats_oracle_sql
 

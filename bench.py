@@ -80,6 +80,7 @@ DF_QUERIES = [
     "model_train_df",
     "conv_minhash_cc",
     "conv_select_with_neardup",
+    "transcript_export_full",
 ]
 # the round-3 comparable set (the EXACT BENCH_r03 query list + the
 # pipeline) — reported separately (value_r03_comparable) so
@@ -137,6 +138,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         conv_minhash_cc,
         conv_select_with_neardup,
         jaccard_pairs_df,
+        transcript_export_full,
         model_train_df,
     )
     from lingua_spark.ops.budget import token_budget_select
@@ -155,6 +157,7 @@ def _bench_df_queries(spark) -> dict[str, float]:
         "model_train_df": model_train_df,
         "conv_minhash_cc": conv_minhash_cc,
         "conv_select_with_neardup": conv_select_with_neardup,
+        "transcript_export_full": transcript_export_full,
     }
     times: dict[str, float] = {}
     for name in DF_QUERIES:

@@ -2334,6 +2334,32 @@ FROM sel JOIN cc ON sel.conv_id = cc.conv_id
 """
 
 
+def transcript_export_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transcript_export_final`` further gated by the NEAR-dup
+    cluster representative (``conv_minhash_cc``) — the stream a
+    curation run actually writes once re-run conversations are
+    collapsed. Per-conversation offsets and output turn indices are
+    unchanged by dropping whole conversations (each conversation's
+    bookkeeping is independent), so this is a pure conv_id semi-join
+    on the final writer output."""
+    register_views(spark, sf_dir)
+    exported = spark.sql(SQL_QUERIES["transcript_export_final"][0])
+    reps = conv_minhash_cc(spark, sf_dir).filter("keep").select("conv_id")
+    return exported.join(reps, "conv_id")
+
+
+def transcript_export_full_oracle_sql() -> str:
+    """DuckDB oracle: the export SQL semi-joined onto the recursive-CTE
+    near-dup closure's representatives."""
+    cc = conv_minhash_cc_oracle_sql()
+    exp = SQL_QUERIES["transcript_export_final"][1]
+    return f"""
+WITH cc AS (SELECT * FROM ({cc}) c),
+e AS ({exp})
+SELECT e.* FROM e JOIN cc ON e.conv_id = cc.conv_id WHERE cc.keep
+"""
+
+
 def conv_minhash_cc_oracle_sql() -> str:
     """DuckDB oracle for conv_minhash_cc (independent recursive-CTE
     transitive closure over the same pair graph)."""

@@ -2578,3 +2578,29 @@ def test_conv_merge_runs_randomized_corpora(spark):
             .reset_index(drop=True)
         )
         assert got.equals(want.astype(got.dtypes.to_dict())), seed
+
+
+def test_transcript_export_full_drops_neardup_reruns(spark):
+    """The full export is the gate-export minus near-dup non-
+    representative conversations — offsets and output indices of the
+    surviving conversations are untouched."""
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        conv_minhash_cc,
+        register_views,
+        transcript_export_full,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    register_views(spark, sfd)
+    full = transcript_export_full(spark, sfd).toPandas()
+    base = spark.sql(SQL_QUERIES["transcript_export_final"][0]).toPandas()
+    reps = conv_minhash_cc(spark, sfd).toPandas()
+    keep = set(reps[reps.keep].conv_id)
+    want = base[base.conv_id.isin(keep)].reset_index(drop=True)
+    key = ["conv_id", "turn_idx"]
+    assert (
+        full.sort_values(key).reset_index(drop=True)[want.columns]
+        .equals(want.sort_values(key).reset_index(drop=True))
+    )
+    assert set(full.conv_id) <= keep
