@@ -77,10 +77,12 @@ def read_transcripts(
     parquet/iceberg before iterating on 100 TB).
     """
     if format == "auto":
-        if "." in source and "/" not in source:
-            format = "iceberg"
-        elif source.rstrip("/").endswith((".jsonl", ".json")):
+        # suffix rule first: a bare relative filename like "dump.jsonl"
+        # contains a dot but no slash and must not route to iceberg
+        if source.rstrip("/").endswith((".jsonl", ".json")):
             format = "jsonl"
+        elif "." in source and "/" not in source:
+            format = "iceberg"
         else:
             format = "parquet"
     if format == "jsonl":

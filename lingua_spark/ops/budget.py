@@ -68,14 +68,27 @@ WHERE {ln}(t) > 0
 
 
 def token_budget_select(
-    spark: SparkSession, sf_dir: str, budget_frac: float = 0.4
+    spark: SparkSession, sf_dir: str, budget_frac: float = 0.4,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Documents selected under a global token budget of
     ``budget_frac`` x total corpus tokens (prefix selection by
     (score DESC, doc_id)). Returns (doc_id, tokens, score) of the
-    selected documents only."""
+    selected documents only.
+
+    ``scored`` (the tokenizing scan — the expensive subtree) is persisted
+    so the corpus is scanned + tokenized ONCE: the histogram collect
+    materializes the cache and the pass/boundary branches read it back.
+    With ``release_cache=True`` (default) the small (doc_id, tokens,
+    score) result is eagerly materialized and the cache released before
+    returning — same hygiene contract as ``jaccard_pairs_df``; pass
+    ``False`` to keep the lazy plan (caller owns the release)."""
+    from pyspark import StorageLevel
+
     register_views(spark, sf_dir)
-    scored = spark.sql(_scored_sql("spark"))
+    scored = spark.sql(_scored_sql("spark")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # Phase 1: score histogram — bounded at SCORE_SCALE+1 rows, so the
     # collect is O(score granularity), not O(corpus).
@@ -119,7 +132,12 @@ def token_budget_select(
             .drop("cum")
         )
         out = out.unionByName(boundary)
-    return out
+    if not release_cache:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        scored.unpersist(blocking=False)
 
 
 def token_budget_oracle_sql(budget_frac: float = 0.4) -> str:

@@ -34,11 +34,57 @@ per round. TWO checkpoint backends (VERDICT r03 item 2):
   ``sc.setCheckpointDir`` — blocks live on the fault-tolerant store, so a
   multi-hour 100 TB clustering run survives executor loss. This is the
   setting a real cluster should use.
+
+Reliable-checkpoint hygiene: the context's previous checkpoint directory
+is restored on exit (the global setting is not hijacked for the rest of
+the session), and each round's label table deletes the PREVIOUS round's
+``rdd-*`` checkpoint files once it has materialized — a 25-round run
+keeps at most two rounds of label tables on the store instead of 25
+(``spark.cleaner.referenceTracking.cleanCheckpoints`` is off by default
+and GC-driven even when on). The FINAL round's files back the returned
+DataFrame and are kept; the caller owns deleting them (or the whole
+directory) after consuming/writing the result.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+class _ReliableCkptGC:
+    """Tracks the ``rdd-*`` directories a round's ``df.checkpoint()``
+    writes under the context checkpoint dir and deletes the superseded
+    round's files once the next round has materialized. Uses the Hadoop
+    FileSystem API so it works on HDFS/S3A as well as local paths."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        base = sc._jsc.sc().getCheckpointDir().get()
+        self._base = self._jvm.org.apache.hadoop.fs.Path(base)
+        self._fs = self._base.getFileSystem(sc._jsc.hadoopConfiguration())
+        self._prev_round: list = []  # rdd-* Paths of the superseded round
+        self._seen: set[str] = set()
+
+    def _list(self) -> set[str]:
+        return {
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._base)
+            if s.getPath().getName().startswith("rdd-")
+        }
+
+    def begin_round(self) -> None:
+        self._seen = self._list()
+
+    def end_round(self) -> None:
+        """The new round is materialized: its files are now the live set;
+        delete the previous round's."""
+        new = self._list() - self._seen
+        for p in self._prev_round:
+            self._fs.delete(p, True)
+        self._prev_round = [
+            self._jvm.org.apache.hadoop.fs.Path(self._base, n) for n in new
+        ]
 
 
 def connected_components(
@@ -56,15 +102,30 @@ def connected_components(
     wrong clustering (with pointer jumping, 25 rounds covers component
     diameters up to ~2^25). ``checkpoint_dir``: when set, per-round label
     tables are reliably checkpointed there (executor-loss-safe; see
-    module docstring); when None, ``localCheckpoint`` is used.
+    module docstring for the retention/restore contract); when None,
+    ``localCheckpoint`` is used.
     """
     spark = edges.sparkSession
+    gc = None
+    prev_ckpt_dir = None
+    restore_dir = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = spark.sparkContext
+        # save the context's previous checkpoint dir so this call does
+        # not hijack the global setting for the rest of the session
+        # (restored via the Scala var setter in the finally below)
+        prev_opt = sc._jsc.sc().getCheckpointDir()
+        restore_dir = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        prev_ckpt_dir = prev_opt
+        sc.setCheckpointDir(checkpoint_dir)
+        gc = _ReliableCkptGC(spark)
 
     def ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
+        if gc is not None:
+            gc.begin_round()
+            out = df.checkpoint(eager=True)
+            gc.end_round()
+            return out
         return df.localCheckpoint(eager=True)
 
     # BOTH edge orientations in ONE evaluation of the (potentially very
@@ -155,6 +216,14 @@ def connected_components(
                 return labels
     finally:
         und.unpersist()
+        if restore_dir is not None:
+            # best-effort restore of the session-global checkpoint dir;
+            # the private-var setter is Spark-internals, so degrade to
+            # leaving the dir set rather than failing the clustering
+            try:
+                restore_dir(prev_ckpt_dir)
+            except Exception:  # noqa: BLE001
+                pass
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
     )

@@ -92,16 +92,29 @@ def _bloom_bitmap(incoming: DataFrame) -> np.ndarray:
     return bitmap
 
 
-def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_bloom(
+    spark: SparkSession, sf_dir: str, release_cache: bool = True
+) -> DataFrame:
     """Per incoming document: (doc_id, is_dup, dup_of) where is_dup means
     the cleaned text already exists in the standing corpus and dup_of is
-    the smallest matching corpus doc_id (NULL when new)."""
+    the smallest matching corpus doc_id (NULL when new).
+
+    The incoming slice is persisted so its scan+clean runs ONCE: the
+    Bloom-bitmap build materializes the cache and the exact-confirm join
+    reads it back — the corpus side remains the only full scan, honoring
+    the module's "scan the corpus ONCE" contract. ``release_cache=True``
+    (default) eagerly materializes the batch-sized result and releases
+    the cache before returning (``jaccard_pairs_df`` hygiene contract);
+    pass ``False`` to keep the lazy plan (caller owns the release)."""
+    from pyspark import StorageLevel
+
     from ..engine.udfs import ship_package
 
     register_views(spark, sf_dir)
     ship_package(spark)
     docs = spark.table("documents")
     corpus, incoming = _halves(docs)
+    incoming = incoming.persist(StorageLevel.MEMORY_AND_DISK)
 
     bc = spark.sparkContext.broadcast(_bloom_bitmap(incoming))
 
@@ -148,9 +161,15 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("i.doc_id").alias("doc_id"))
         .agg(F.min("s.corpus_id").alias("dup_of"))
     )
-    return matched.select(
+    out = matched.select(
         "doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of"
     )
+    if not release_cache:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        incoming.unpersist(blocking=False)
 
 
 def incremental_oracle_sql() -> str:

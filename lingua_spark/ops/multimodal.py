@@ -366,15 +366,24 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 p = bytes(payload) if payload is not None else b""
                 dur = int(dur) if dur is not None else 0
                 if p.startswith(_Y4M_MAGIC):
-                    _, _, fps, frames = iter_y4m_frames(p)
-                    if not frames:
+                    # one corrupt/truncated Y4M row (or a 0-fps header)
+                    # must not fail the whole stage — same per-row
+                    # degradation as extract_features (ADVICE r03):
+                    # fall through to the byte-slice stub on any
+                    # decode error
+                    try:
+                        _, _, fps, frames = iter_y4m_frames(p)
+                        if fps <= 0:
+                            raise ValueError("non-positive Y4M fps")
+                    except Exception:  # noqa: BLE001 — corrupt media row
+                        frames = []
+                    if frames:
+                        for k in range(n_frames):
+                            idx = k * len(frames) // n_frames
+                            emit(
+                                mid, k, int(idx * 1000.0 / fps), frames[idx]
+                            )
                         continue
-                    for k in range(n_frames):
-                        idx = k * len(frames) // n_frames
-                        emit(
-                            mid, k, int(idx * 1000.0 / fps), frames[idx]
-                        )
-                    continue
                 for k in range(n_frames):
                     # stub "decode": deterministic rotating byte slice
                     start = (k * max(1, len(p) // n_frames)) % max(len(p), 1)

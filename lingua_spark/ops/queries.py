@@ -1277,6 +1277,30 @@ GROUP BY tr.doc_id
 """
 
 
+def _conv_canon_key(dialect: str) -> str:
+    """Aggregate expression: md5 canonical key of a conversation's turn
+    texts in stable turn order (US separator, 0x1f). Each element is
+    tagged with an injective NULL flag ('T'+text / 'N') BEFORE the
+    aggregation: without it the dialects diverge on NULL turns — Spark's
+    ``array_join`` silently DROPS NULL elements (an all-NULL conversation
+    hashes like an all-''-text one, a silent key collision) while
+    DuckDB's ``string_agg`` returns NULL when every input is NULL. With
+    the tag neither engine ever sees a NULL element and a NULL turn can
+    never collide with an empty-text turn."""
+    if dialect == "spark":
+        return (
+            "md5(array_join(transform("
+            "array_sort(collect_list(struct(turn_idx, text))),"
+            " s -> concat(CASE WHEN s.text IS NULL THEN 'N' ELSE 'T' END,"
+            " coalesce(s.text, ''))), char(31)))"
+        )
+    return (
+        "md5(string_agg("
+        "concat(CASE WHEN text IS NULL THEN 'N' ELSE 'T' END,"
+        " coalesce(text, '')), chr(31) ORDER BY turn_idx))"
+    )
+
+
 def _conv_dedup_exact(dialect: str) -> str:
     """CONVERSATION-level exact dedup over the transcript mapping (the
     graft payload): a conversation's canonical key is the md5 of its
@@ -1287,16 +1311,9 @@ def _conv_dedup_exact(dialect: str) -> str:
     aggregation buffer, no window), one groupBy(conv_key) — both
     map-side-combinable; the shuffle key after the first agg is the
     16-byte md5, never the concatenated text."""
-    if dialect == "spark":
-        conv = "concat('conv-', CAST(doc_id % 50 AS STRING))"
-        canon = (
-            "md5(array_join(transform("
-            "array_sort(collect_list(struct(turn_idx, text))),"
-            " s -> s.text), char(31)))"
-        )
-    else:
-        conv = "concat('conv-', CAST(doc_id % 50 AS VARCHAR))"
-        canon = "md5(string_agg(text, chr(31) ORDER BY turn_idx))"
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    conv = f"concat('conv-', CAST(doc_id % 50 AS {cast}))"
+    canon = _conv_canon_key(dialect)
     return f"""
 WITH turns AS (
   SELECT {conv} AS conv_id,
@@ -2534,8 +2551,11 @@ def _conv_select_final(
     - ``loop_ok``       — repeated-opening turns <= 10% of turns
       (``conv_loop_detect`` signals)
     - ``pii_ok``        — PII-turn rate <= {pii_max} (``conv_pii_quarantine``)
-    - ``quality_ok``    — per-turn heuristic keep rate >= {quality_min}
-      (``quality_keep_sql`` applied per turn)
+    - ``quality_ok``    — heuristic keep rate over NON-TOOL turns >=
+      {quality_min} (``quality_keep_sql`` per turn; tool turns are
+      exempt from the prose gate, consistent with
+      ``transcript_export_final``'s turn gate — tool output is
+      legitimately non-linguistic)
     - ``dedup_ok``      — the conversation is its exact-duplicate group's
       min-conv_id representative (``conv_dedup_exact`` semantics)
 
@@ -2578,14 +2598,7 @@ def _conv_select_final(
         f" '{ip}', ''{g}))"
     )
     keep = _KEEP_EXPR_SPARK if dialect == "spark" else _KEEP_EXPR_DUCK
-    if dialect == "spark":
-        canon = (
-            "md5(array_join(transform("
-            "array_sort(collect_list(struct(turn_idx, text))),"
-            " s -> s.text), char(31)))"
-        )
-    else:
-        canon = "md5(string_agg(text, chr(31) ORDER BY turn_idx))"
+    canon = _conv_canon_key(dialect)  # NULL-tagged; see _conv_canon_key
     return f"""
 WITH {_transcript_turns_cte(dialect, with_role=True)},
 per_turn AS (
@@ -2617,7 +2630,15 @@ msg AS (
 conv AS (
   SELECT conv_id,
          count(*) AS n_turns,
-         avg(CAST(q_keep AS DOUBLE)) AS quality_rate,
+         -- prose-quality rate over NON-TOOL turns only, mirroring the
+         -- export's turn gate (tool output is legitimately non-prose:
+         -- JSON/logs would fail the symbol-ratio heuristic and a
+         -- tool-dense agent transcript would be dropped wholesale);
+         -- a conversation with no prose turns passes vacuously (1.0) —
+         -- the structure gate already rejects user-less conversations
+         coalesce(avg(CASE WHEN role <> 'tool'
+                           THEN CAST(q_keep AS DOUBLE) END),
+                  1.0) AS quality_rate,
          avg(CAST(pii AS DOUBLE)) AS pii_rate,
          sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
          sum(CASE WHEN role = 'tool'
@@ -2744,14 +2765,22 @@ def _conv_merge_runs(dialect: str) -> str:
          text
   FROM documents
 )"""
+    # each element coalesced to '' BEFORE aggregating: Spark's array_join
+    # drops NULL elements (losing their separator) and DuckDB's
+    # string_agg skips NULL inputs but returns NULL for an all-NULL run —
+    # coalescing per element keeps every turn's separator slot in both
+    # engines and makes an all-NULL run merge to '' in both (a NULL-text
+    # turn contributes an empty line, documented semantics)
     if dialect == "spark":
         merged = (
             "array_join(transform("
             "array_sort(collect_list(struct(turn_idx, text))),"
-            " s -> s.text), char(10))"
+            " s -> coalesce(s.text, '')), char(10))"
         )
     else:
-        merged = "string_agg(text, chr(10) ORDER BY turn_idx)"
+        merged = (
+            "string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx)"
+        )
     return f"""
 WITH {turns_cte},
 seq AS (

@@ -786,14 +786,20 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
     )
     local = {r["doc"]: r["rep"] for r in connected_components(edges).collect()}
     ckdir = tmp_path / "cc-checkpoints"
-    reliable = {
-        r["doc"]: r["rep"]
-        for r in connected_components(
-            edges, checkpoint_dir=str(ckdir)
-        ).collect()
-    }
+    dir_before = str(spark.sparkContext._jsc.sc().getCheckpointDir())
+    reliable_df = connected_components(edges, checkpoint_dir=str(ckdir))
+    reliable = {r["doc"]: r["rep"] for r in reliable_df.collect()}
     assert reliable == local
     assert any(ckdir.rglob("*")), "no checkpoint files written"
+    # superseded rounds are GC'd as the iteration advances: only the
+    # final round's label table survives (not one rdd-* dir per round)
+    rdd_dirs = [p for p in ckdir.rglob("rdd-*") if p.is_dir()]
+    assert len(rdd_dirs) == 1, rdd_dirs
+    # the returned DataFrame is still readable off the surviving files
+    assert reliable_df.count() == len(local)
+    # the session-global checkpoint dir is restored, not hijacked
+    dir_after = str(spark.sparkContext._jsc.sc().getCheckpointDir())
+    assert dir_after == dir_before
 
 
 def test_connected_components_random_graph_matches_union_find(spark):
@@ -1900,6 +1906,13 @@ def test_all_document_queries_degenerate_corpus_parity(spark):
         (1, "another normal document here", "en"),
         (51, None, "fr"),
         (101, "repeat repeat repeat repeat", "fr"),
+        # conv-2: a SINGLE all-NULL-text conversation and conv-3: a
+        # single ''-text one — the canonical-key class where Spark's
+        # array_join (drops NULLs) and DuckDB's string_agg (returns
+        # NULL) diverge unless elements are NULL-tagged, and where an
+        # untagged key silently collides the two conversations
+        (2, None, "en"),
+        (3, "", "de"),
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string"
@@ -2604,3 +2617,109 @@ def test_transcript_export_full_drops_neardup_reruns(spark):
         .equals(want.sort_values(key).reset_index(drop=True))
     )
     assert set(full.conv_id) <= keep
+
+
+def test_sample_frames_corrupt_y4m_degrades_per_row(spark):
+    """A truncated Y4M payload (valid magic, cut-off frame) must not fail
+    the whole mapInPandas stage: the corrupt row degrades to the
+    byte-slice stub while a good Y4M row in the SAME batch still decodes
+    for real."""
+    from pyspark.sql import Row
+
+    from lingua_spark.ops.multimodal import sample_frames, synth_y4m
+
+    w, h, nf = 16, 8, 8
+    good = synth_y4m(w=w, h=h, n_frames=nf, fps=25)
+    corrupt = good[: len(good) - w * h]  # cut into the last frame's luma
+    df = spark.createDataFrame(
+        [
+            Row(media_id=0, kind="video", payload=bytearray(good),
+                mime="video/x-yuv4mpeg", width=w, height=h,
+                duration_ms=nf * 40),
+            Row(media_id=1, kind="video", payload=bytearray(corrupt),
+                mime="video/x-yuv4mpeg", width=w, height=h,
+                duration_ms=nf * 40),
+        ]
+    )
+    frames = sample_frames(df, n_frames=4).toPandas()
+    by_id = {mid: g.sort_values("frame_idx") for mid, g in
+             frames.groupby("media_id")}
+    # good row: real frames, real timestamps
+    assert by_id[0].frame_ts_ms.tolist() == [0, 80, 160, 240]
+    # corrupt row: still emits 4 stub frames instead of killing the job
+    assert len(by_id[1]) == 4
+    assert all(len(bytes(p)) <= 32 for p in by_id[1].frame_payload)
+
+
+def test_conv_select_final_quality_gate_exempts_tool_turns(spark):
+    """The prose-quality gate averages the per-turn keep flag over
+    NON-TOOL turns only (tool output is legitimately non-prose), the
+    same exemption transcript_export_final applies at turn level — a
+    tool-dense agent transcript must not be dropped for its tool
+    payloads. Pinned against an independent pandas recomputation from
+    quality_keep_sql + the md5 role coin."""
+    import hashlib
+
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    sel = (
+        spark.sql(SQL_QUERIES["conv_select_final"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    keep = (
+        spark.sql(SQL_QUERIES["quality_keep_sql"][0])
+        .toPandas()
+        .set_index("doc_id")["keep"]
+    )
+
+    def role_of(doc_id: int) -> str:
+        if hashlib.md5(f"role:{doc_id}".encode()).hexdigest()[:2] < "14":
+            return "tool"
+        return "user" if (doc_id // 150) % 2 == 0 else "assistant"
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": keep.index,
+            "keep": keep.values,
+            "conv": [f"conv-{d % 50}" for d in keep.index],
+            "role": [role_of(int(d)) for d in keep.index],
+        }
+    )
+    nontool = df[df.role != "tool"].groupby("conv").keep.mean()
+    got = sel.quality_rate
+    for conv, want in nontool.items():
+        assert abs(got[conv] - round(want, 4)) < 1e-9, conv
+
+    # activeness on a hand corpus: conv-11 is (user, tool) under the md5
+    # role coin; junk TOOL output with clean prose must score
+    # quality_rate 1.0 (the all-turn average would be 0.5) — and the
+    # DuckDB dialect agrees
+    import duckdb
+
+    rows = [
+        (11, "this is a perfectly reasonable user question here"),
+        (61, '{"exit_code":0,"@@@###$$$":"%%%^^^&&&***((()))"}'),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    hand = (
+        spark.sql(SQL_QUERIES["conv_select_final"][0])
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert hand.loc["conv-11", "quality_rate"] == 1.0
+    assert bool(hand.loc["conv-11", "quality_ok"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    dhand = con.sql(SQL_QUERIES["conv_select_final"][1]).df().set_index(
+        "conv_id"
+    )
+    assert dhand.loc["conv-11", "quality_rate"] == 1.0
+    register_views(spark, "/root/testdata/sf0.001")  # restore real views
