@@ -2314,19 +2314,30 @@ def conv_minhash_cc(
     )
 
 
-def conv_select_with_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conv_select_with_neardup(
+    spark: SparkSession, sf_dir: str, neardup: DataFrame | None = None
+) -> DataFrame:
     """The conversation pipeline's FULL selection — the composition a
     transcript curation run materializes (conversation twin of
     ``corpus_select_final``): a conversation ships iff it passes all
     six ``conv_select_final`` gates AND it is its NEAR-dup cluster's
     kept representative (``conv_minhash_cc`` — the exact-dup gate
     inside conv_select_final cannot see one-turn-divergent re-runs).
-    Both decisions surface per conversation for drop attribution."""
+    Both decisions surface per conversation for drop attribution.
+
+    ``neardup``: a precomputed ``conv_minhash_cc`` output (conv_id,
+    keep, ...). The clustering is the expensive eager step (signature
+    pass + iterative CC); a 100 TB curation run materializes it ONCE
+    and feeds every consumer (this selection, the export writer) the
+    same table instead of re-clustering per composition. Default None
+    recomputes — the self-contained shape the driver/bench measure."""
     register_views(spark, sf_dir)
     sel = spark.sql(SQL_QUERIES["conv_select_final"][0]).select(
         "conv_id", F.col("selected").alias("keep_gates")
     )
-    cc = conv_minhash_cc(spark, sf_dir).select(
+    if neardup is None:
+        neardup = conv_minhash_cc(spark, sf_dir)
+    cc = neardup.select(
         "conv_id", F.col("keep").alias("keep_neardup")
     )
     return sel.join(cc, "conv_id").select(
@@ -2351,17 +2362,25 @@ FROM sel JOIN cc ON sel.conv_id = cc.conv_id
 """
 
 
-def transcript_export_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcript_export_full(
+    spark: SparkSession, sf_dir: str, neardup: DataFrame | None = None
+) -> DataFrame:
     """``transcript_export_final`` further gated by the NEAR-dup
     cluster representative (``conv_minhash_cc``) — the stream a
     curation run actually writes once re-run conversations are
     collapsed. Per-conversation offsets and output turn indices are
     unchanged by dropping whole conversations (each conversation's
     bookkeeping is independent), so this is a pure conv_id semi-join
-    on the final writer output."""
+    on the final writer output.
+
+    ``neardup``: precomputed ``conv_minhash_cc`` output to reuse (see
+    ``conv_select_with_neardup`` — cluster once, feed every consumer);
+    None recomputes self-contained."""
     register_views(spark, sf_dir)
     exported = spark.sql(SQL_QUERIES["transcript_export_final"][0])
-    reps = conv_minhash_cc(spark, sf_dir).filter("keep").select("conv_id")
+    if neardup is None:
+        neardup = conv_minhash_cc(spark, sf_dir)
+    reps = neardup.filter("keep").select("conv_id")
     return exported.join(reps, "conv_id")
 
 
@@ -2461,17 +2480,25 @@ FROM documents
 )
 
 
-def corpus_select_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_select_final(
+    spark: SparkSession, sf_dir: str, dedup: DataFrame | None = None
+) -> DataFrame:
     """Final training-corpus selection — the composition a 100 TB curation
     run materializes: a document is selected iff it passes the heuristic
     quality gate (``quality_keep_sql``) AND it is its duplicate cluster's
     kept representative (``dedup_minhash_cc``). Both decisions are
-    surfaced per document so downstream audits can attribute every drop."""
+    surfaced per document so downstream audits can attribute every drop.
+
+    ``dedup``: a precomputed ``dedup_minhash_cc`` output (doc_id, keep,
+    ...) to reuse — cluster once, feed every consumer (see
+    ``conv_select_with_neardup``); None recomputes self-contained."""
     register_views(spark, sf_dir)
     quality = spark.sql(SQL_QUERIES["quality_keep_sql"][0]).withColumnRenamed(
         "keep", "keep_quality"
     )
-    dedup = dedup_minhash_cc(spark, sf_dir).select(
+    if dedup is None:
+        dedup = dedup_minhash_cc(spark, sf_dir)
+    dedup = dedup.select(
         "doc_id", F.col("keep").alias("keep_dedup")
     )
     return quality.join(dedup, "doc_id").select(

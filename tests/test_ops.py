@@ -2723,3 +2723,68 @@ def test_conv_select_final_quality_gate_exempts_tool_turns(spark):
     )
     assert dhand.loc["conv-11", "quality_rate"] == 1.0
     register_views(spark, "/root/testdata/sf0.001")  # restore real views
+
+
+def test_compositions_reuse_precomputed_clustering(spark):
+    """The selection/export compositions accept a precomputed clustering
+    table (cluster once, feed every consumer — the 100 TB shape) and
+    actually USE it: passing the real conv_minhash_cc output reproduces
+    the self-contained result, and passing a doctored table (keep
+    flipped for one representative) changes the verdicts accordingly."""
+    from pyspark.sql import functions as F
+
+    from lingua_spark.ops.queries import (
+        conv_minhash_cc,
+        conv_select_with_neardup,
+        corpus_select_final,
+        dedup_minhash_cc,
+        register_views,
+        transcript_export_full,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    register_views(spark, sfd)
+    cc = conv_minhash_cc(spark, sfd).localCheckpoint(eager=True)
+
+    base_sel = conv_select_with_neardup(spark, sfd).toPandas()
+    reuse_sel = conv_select_with_neardup(spark, sfd, neardup=cc).toPandas()
+    key = ["conv_id"]
+    assert (
+        base_sel.sort_values(key).reset_index(drop=True)
+        .equals(reuse_sel.sort_values(key).reset_index(drop=True))
+    )
+
+    base_exp = transcript_export_full(spark, sfd).toPandas()
+    reuse_exp = transcript_export_full(spark, sfd, neardup=cc).toPandas()
+    k2 = ["conv_id", "turn_idx"]
+    assert (
+        base_exp.sort_values(k2).reset_index(drop=True)
+        .equals(reuse_exp.sort_values(k2).reset_index(drop=True))
+    )
+
+    # doctored clustering: drop one kept conversation's representative
+    # flag -> it must vanish from the export and lose keep_neardup
+    victim = base_exp.conv_id.iloc[0]
+    doctored = cc.withColumn(
+        "keep",
+        F.when(F.col("conv_id") == victim, F.lit(False)).otherwise(
+            F.col("keep")
+        ),
+    )
+    doc_exp = transcript_export_full(spark, sfd, neardup=doctored).toPandas()
+    assert victim not in set(doc_exp.conv_id)
+    doc_sel = (
+        conv_select_with_neardup(spark, sfd, neardup=doctored)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert not doc_sel.loc[victim, "keep_neardup"]
+
+    # document twin: same contract on corpus_select_final
+    dd = dedup_minhash_cc(spark, sfd).localCheckpoint(eager=True)
+    base_cs = corpus_select_final(spark, sfd).toPandas()
+    reuse_cs = corpus_select_final(spark, sfd, dedup=dd).toPandas()
+    assert (
+        base_cs.sort_values("doc_id").reset_index(drop=True)
+        .equals(reuse_cs.sort_values("doc_id").reset_index(drop=True))
+    )
