@@ -772,6 +772,54 @@ def expected_embedding_cc(emb: pd.DataFrame) -> pd.DataFrame:
 SEMDEDUP_TAU = 0.4
 
 
+def _semdedup_with_cell(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_cells: int,
+    seed: int,
+    n_vectors: int | None,
+):
+    """(vec_id, embedding, cell) assignment + the codebook broadcast —
+    shared by ``semdedup`` and the ``semdedup_cell_sizes`` audit so both
+    see the identical codebook/assignment."""
+    from ..engine.udfs import ship_package
+
+    ship_package(spark)
+    cent = kmeans_centroids(_train_sample(emb, n_vectors), n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(LongType())
+    def cell_of(embs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - c[None]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1))
+
+    with_cell = emb.select(
+        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
+    )
+    return with_cell, bc
+
+
+def semdedup_cell_sizes(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_cells: int = 32,
+    seed: int = 11,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Audit of the semdedup k-means split (no-silent-caps rule): per-cell
+    vector counts, descending. The within-cell stage is O(cell_size^2);
+    a runaway max(n_vectors) here means n_cells must grow (or the cell
+    won't fit one executor) — surfaced, never assumed."""
+    with_cell, _ = _semdedup_with_cell(spark, emb, n_cells, seed, n_vectors)
+    return (
+        with_cell.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy(F.desc("n_vectors"), "cell")
+    )
+
+
 def semdedup(
     spark: SparkSession,
     emb: DataFrame,
@@ -797,24 +845,11 @@ def semdedup(
     projection for cell assignment, ONE shuffle keyed by the (8-byte)
     cell id, then per-cell NumPy matmuls inside applyInPandas. Nothing
     driver-side except the bounded codebook training (IVF_TRAIN_CAP
-    sample). Fixture oracle: ``expected_semdedup`` recomputes every step
-    in NumPy, bit-identically."""
-    from ..engine.udfs import ship_package
-
-    ship_package(spark)
-    cent = kmeans_centroids(_train_sample(emb, n_vectors), n_cells, seed=seed)
-    bc = spark.sparkContext.broadcast(cent)
-
-    @F.pandas_udf(LongType())
-    def cell_of(embs: pd.Series) -> pd.Series:
-        c = bc.value
-        mat = np.stack(embs.to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - c[None]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1))
-
-    with_cell = emb.select(
-        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
-    )
+    sample). The O(cell_size^2) bound rests on the k-means split being
+    balanced — ``semdedup_cell_sizes`` audits it (no-silent-caps rule).
+    Fixture oracle: ``expected_semdedup`` recomputes every step in
+    NumPy, bit-identically."""
+    with_cell, bc = _semdedup_with_cell(spark, emb, n_cells, seed, n_vectors)
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         c = bc.value

@@ -2788,3 +2788,37 @@ def test_compositions_reuse_precomputed_clustering(spark):
         base_cs.sort_values("doc_id").reset_index(drop=True)
         .equals(reuse_cs.sort_values("doc_id").reset_index(drop=True))
     )
+
+
+def test_semdedup_cell_sizes_audit(spark):
+    """semdedup_cell_sizes surfaces the k-means split the O(cell^2)
+    within-cell stage rests on: counts match the NumPy twin's
+    assignment exactly and sum to the corpus size."""
+    import pandas as pd
+
+    from lingua_spark.ops.similarity import (
+        IVF_TRAIN_CAP,
+        expected_semdedup,
+        semdedup_cell_sizes,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    emb_df = spark.read.parquet(f"{sfd}/embeddings.parquet")
+    got = (
+        semdedup_cell_sizes(spark, emb_df)
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sfd}/embeddings.parquet")
+    want = (
+        expected_semdedup(emb)
+        .groupby("cell", as_index=False)
+        .size()
+        .rename(columns={"size": "n_vectors"})
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert got.cell.tolist() == want.cell.tolist()
+    assert got.n_vectors.tolist() == want.n_vectors.tolist()
+    assert got.n_vectors.sum() == len(emb)
