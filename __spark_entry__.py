@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SemDeDup: k-means-cell semantic dedup (the IVF-analog scale path
     # for embedding dedup; NumPy-twin fixture oracle)
     out["dedup_semantic"] = dedup_semantic
+    # its cell-size audit (the O(cell^2) within-cell stage's balance
+    # assumption, surfaced — no-silent-caps rule)
+    from lingua_spark.ops.similarity import dedup_semantic_cell_sizes
+
+    out["dedup_semantic_cell_sizes"] = dedup_semantic_cell_sizes
     # quality gate AND dedup-representative: the final selection list
     from lingua_spark.ops.queries import corpus_select_final
 

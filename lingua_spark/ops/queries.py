@@ -2189,6 +2189,7 @@ FIXTURE_ORACLE_QUERIES = (
     "dedup_embedding_neardup_hot_buckets",
     "dedup_embedding_cc",
     "dedup_semantic",
+    "dedup_semantic_cell_sizes",
     "detect_language_counts",
     "detect_language_per_doc",
     "detect_confusion",

@@ -820,6 +820,26 @@ def semdedup_cell_sizes(
     )
 
 
+def dedup_semantic_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_cell_sizes(spark, emb)
+
+
+def expected_semdedup_cell_sizes(emb: pd.DataFrame) -> pd.DataFrame:
+    """NumPy twin of ``semdedup_cell_sizes`` (via ``expected_semdedup``'s
+    identical codebook/assignment) for the fixture oracle."""
+    out = (
+        expected_semdedup(emb)
+        .groupby("cell", as_index=False)
+        .size()
+        .rename(columns={"size": "n_vectors"})
+        .astype({"cell": "int64", "n_vectors": "int64"})
+    )
+    return out.sort_values(
+        ["n_vectors", "cell"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 def semdedup(
     spark: SparkSession,
     emb: DataFrame,

@@ -72,6 +72,13 @@ def gen_semdedup() -> pd.DataFrame:
     return expected_semdedup(emb)
 
 
+def gen_semdedup_cell_sizes() -> pd.DataFrame:
+    from lingua_spark.ops.similarity import expected_semdedup_cell_sizes
+
+    emb = pd.read_parquet(SF_DIR / "embeddings.parquet")
+    return expected_semdedup_cell_sizes(emb)
+
+
 def gen_neardup_hot_buckets() -> pd.DataFrame:
     from lingua_spark.ops.similarity import expected_neardup_hot_buckets
 
@@ -231,6 +238,7 @@ def main() -> None:
         "dedup_embedding_neardup_hot_buckets": gen_neardup_hot_buckets,
         "dedup_embedding_cc": gen_embedding_cc,
         "dedup_semantic": gen_semdedup,
+        "dedup_semantic_cell_sizes": gen_semdedup_cell_sizes,
         "detect_language_counts": lambda: gen_detect_counts(docs),
         "detect_language_per_doc": lambda: gen_detect_per_doc(docs),
         "quality_pipeline_summary": lambda: gen_quality_summary(docs),
