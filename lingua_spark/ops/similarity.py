@@ -476,6 +476,23 @@ def expected_neardup_hot_buckets(
 IVF_TRAIN_CAP = 4096
 
 
+def nearest_cell(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin over centroids of squared L2 distance, via the expansion
+    ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (the ||x||^2 term is constant
+    per row and dropped). The naive broadcast form materializes a
+    batch x cells x dim tensor — at the n_cells a 100 TB run needs
+    (~sqrt(N), easily 2^16) that is a multi-hundred-GB buffer per Arrow
+    batch; this form peaks at batch x cells plus one matmul. EVERY
+    assignment site (k-means trainer, IVF and semdedup cell UDFs, their
+    NumPy fixture twins) shares this helper, so near-tie argmin flips
+    from the changed float rounding cannot desynchronize engine and
+    oracle."""
+    scores = mat @ cent.T
+    return (np.einsum("ij,ij->i", cent, cent)[None, :] - 2.0 * scores).argmin(
+        1
+    )
+
+
 def kmeans_centroids(
     mat: np.ndarray, n_cells: int = 32, iters: int = 8, seed: int = 11
 ) -> np.ndarray:
@@ -489,8 +506,7 @@ def kmeans_centroids(
     n_cells = min(n_cells, len(mat))
     cent = mat[rng.choice(len(mat), n_cells, replace=False)].copy()
     for _ in range(iters):
-        d = ((mat[:, None, :] - cent[None]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        assign = nearest_cell(mat, cent)
         for c in range(n_cells):
             m = assign == c
             if m.any():
@@ -541,8 +557,7 @@ def ivf_ann(
     def cell_of(embs: pd.Series) -> pd.Series:
         c = bc.value
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - c[None]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1))
+        return pd.Series(nearest_cell(mat, c))
 
     with_cell = emb.select(
         "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
@@ -622,13 +637,16 @@ def expected_ivf_topk(
     sel = np.array([xxh64_long(int(v)) % mod == 0 for v in vec_ids])
     train = M[sel]
     cent = kmeans_centroids(train, n_cells, seed=seed)
-    d = ((M[:, None, :] - cent[None]) ** 2).sum(-1)
-    assign = d.argmin(1)
+    assign = nearest_cell(M, cent)
     rows = []
     for qi in range(n):
         if vec_ids[qi] >= n_query:
             continue
-        cells = np.argsort(d[qi])[:nprobe]
+        # probe selection needs the full distance ORDER (argsort), not
+        # just the argmin — computed per query with the same expression
+        # as the Spark query side (1 x cells, no memory concern)
+        dq = ((M[qi][None, :] - cent) ** 2).sum(-1)
+        cells = np.argsort(dq)[:nprobe]
         cand = np.flatnonzero(np.isin(assign, cells))
         cand = cand[cand != qi]
         if cand.size == 0:
@@ -792,8 +810,7 @@ def _semdedup_with_cell(
     def cell_of(embs: pd.Series) -> pd.Series:
         c = bc.value
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - c[None]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1))
+        return pd.Series(nearest_cell(mat, c))
 
     with_cell = emb.select(
         "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
@@ -932,8 +949,7 @@ def expected_semdedup(
     mod = max(1, -(-n // IVF_TRAIN_CAP))
     sel = np.array([xxh64_long(int(v)) % mod == 0 for v in vec_ids])
     cent = kmeans_centroids(M[sel], n_cells, seed=seed)
-    d = ((M[:, None, :] - cent[None]) ** 2).sum(-1)
-    assign = d.argmin(1)
+    assign = nearest_cell(M, cent)
     nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
     rows = []
     for cell in sorted(set(int(a) for a in assign)):
