@@ -104,10 +104,16 @@ def _minhash_sig(
     bucket — in Spark only, since its greatest(NULL,1)=1 path emits a
     [NULL] shingle where DuckDB emits none (dialect divergence pinned
     by the degenerate-corpus parity test). Short-but-nonempty docs keep
-    their single whole-text shingle."""
+    their single whole-text shingle. The guard TRIMS first: a doc whose
+    cleaned text is whitespace-only (e.g. all-digit/punctuation text —
+    _cleaned strips numbers and punctuation) would otherwise pass the
+    length test and contribute the single shingle ' ', collapsing every
+    contentless doc into one near-dup cluster in BOTH dialects (the
+    giant-bucket failure this guard exists to exclude, invisible to the
+    oracle gate because both engines would agree)."""
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", k)
-    nonempty = "WHERE length(coalesce(c, '')) >= 1"
+    nonempty = "WHERE length(trim(coalesce(c, ''))) >= 1"
     n_digests = (n_hashes + 3) // 4
     digests = ", ".join(
         f"md5({'s' if d == 0 else repr('~' * d) + ' || s'}) AS m{d}"
@@ -466,13 +472,7 @@ def jaccard_pairs_df(
     )
     pairs = (
         buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> transform("
-                    "slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p")
         )
         .groupBy(
             F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
@@ -557,13 +557,7 @@ def fingerprint_pairs_df(
     # at most 20 ids — no E-sized self-join, no hot-key agg buffer
     pairs = (
         buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> transform("
-                    "slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p")
         )
         .groupBy(
             F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
@@ -690,27 +684,49 @@ def _pii_pats(dialect: str) -> tuple[str, str, str]:
     return pats
 
 
-def _pii_scrub(dialect: str) -> str:
+def _pii_hit(dialect: str) -> str:
+    """Boolean SQL expression: text contains at least one PII pattern.
+    Strip-replace with '' and compare lengths — a nonempty match always
+    shortens, so the length test is exact here (unlike a scrub to a
+    fixed-width token, which can preserve length). Shared by
+    conv_pii_quarantine and conv_select_final."""
     email, ssn, ip = _pii_pats(dialect)
-    if dialect == "spark":
-        scrub = (
-            f"regexp_replace(regexp_replace(regexp_replace(text,"
-            f" '{email}', '[EMAIL]'),"
-            f" '{ssn}', '[SSN]'),"
-            f" '{ip}', '[IP]')"
-        )
-    else:
-        scrub = (
-            f"regexp_replace(regexp_replace(regexp_replace(text,"
-            f" '{email}', '[EMAIL]', 'g'),"
-            f" '{ssn}', '[SSN]', 'g'),"
-            f" '{ip}', '[IP]', 'g')"
-        )
+    g = "" if dialect == "spark" else ", 'g'"
+    return (
+        f"length(text) != length(regexp_replace(regexp_replace("
+        f"regexp_replace(text,"
+        f" '{email}', ''{g}),"
+        f" '{ssn}', ''{g}),"
+        f" '{ip}', ''{g}))"
+    )
+
+
+def _pii_scrub_expr(dialect: str) -> str:
+    """The scrub chain text -> scrubbed text ([EMAIL]/[SSN]/[IP]
+    placeholders). Shared by pii_scrub and transcript_export_final —
+    adding a fourth PII pattern lands in the audit flag, the standalone
+    scrub and the export writer together."""
+    email, ssn, ip = _pii_pats(dialect)
+    g = "" if dialect == "spark" else ", 'g'"
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{email}', '[EMAIL]'{g}),"
+        f" '{ssn}', '[SSN]'{g}),"
+        f" '{ip}', '[IP]'{g})"
+    )
+
+
+def _pii_scrub(dialect: str) -> str:
+    scrub = _pii_scrub_expr(dialect)
     # coalesce: was_scrubbed is a total gate — NULL text was not
-    # scrubbed, not unknown (scrubbed_text faithfully stays NULL)
+    # scrubbed, not unknown (scrubbed_text faithfully stays NULL).
+    # Compare TEXT, not lengths: a length-preserving scrub (7-char email
+    # -> 7-char '[EMAIL]', or two replacements whose deltas cancel)
+    # changed the text but a length diff reports FALSE — and both
+    # dialects would agree, so the oracle gate cannot see it.
     return f"""
 SELECT doc_id, {scrub} AS scrubbed_text,
-       CAST(coalesce(length(text) - length({scrub}) != 0, FALSE)
+       CAST(coalesce({scrub} != text, FALSE)
             AS BOOLEAN) AS was_scrubbed
 FROM documents
 """
@@ -942,17 +958,31 @@ def model_train_df(
     ``write_model_table`` / ``PackedModels.from_table`` directly."""
     from pyspark import StorageLevel
 
+    import uuid
+
     register_views(spark, sf_dir)
     counts = spark.sql(_model_train_counts_sql("spark"))
     counts.persist(StorageLevel.MEMORY_AND_DISK)
-    counts.createOrReplaceTempView("__model_train_counts")
-    out = spark.sql(_model_train_final_sql("__model_train_counts"))
+    # per-call UNIQUE view name: a fixed name was silently clobbered by
+    # concurrent/repeated callers in the same session. The view must be
+    # a catalog view (not a {df} template arg — measured: template
+    # substitution re-parses the relation into a plan the cache manager
+    # does not match, silently losing the one-scan property), and it is
+    # dropped only on the eager path below because dropTempView also
+    # UNCACHES the plan.
+    view = f"__model_train_counts_{uuid.uuid4().hex}"
+    counts.createOrReplaceTempView(view)
+    out = spark.sql(_model_train_final_sql(view))
     if release_cache:
         # eager materialization (same hygiene as jaccard_pairs_df): the
         # model table is localCheckpointed, then the corpus-sized cache
         # is released; callers get a plan decoupled from the cache
         out = out.localCheckpoint(eager=True)
-        counts.unpersist(blocking=False)
+        spark.catalog.dropTempView(view)  # also uncaches; unpersist is
+        counts.unpersist(blocking=False)  # then a no-op safety net
+    # release_cache=False: the view stays registered (unique name, no
+    # clobber risk) because dropping it would uncache the counts the
+    # caller's lazy plan still needs — the caller owns both releases
     return out
 SQL_QUERIES["langid_stopwords"] = (
     _stopword_langid("spark"),
@@ -1275,6 +1305,18 @@ SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
 FROM tr JOIN ev ON tr.s = ev.s
 GROUP BY tr.doc_id
 """
+
+
+# All-pairs expansion of a SORTED, CAPPED bucket array `ids` into
+# struct(a, b) with a < b, entirely JVM-side (no self-join): 1-based
+# slice start i+2 skips x itself and everything before it. Shared by
+# jaccard_pairs_df and fingerprint_pairs_df — a fix to the slice
+# arithmetic lands in both.
+_BUCKET_PAIR_EXPR = (
+    "flatten(transform(ids, (x, i) -> transform("
+    "slice(ids, i + 2, size(ids)),"
+    " y -> struct(x AS a, y AS b))))"
+)
 
 
 def _conv_canon_key(dialect: str) -> str:
@@ -1655,7 +1697,9 @@ ds AS (
 ),
 base AS (SELECT doc_id, {toks} AS t FROM documents)
 SELECT b.doc_id,
-       CAST({n}(b.t) AS BIGINT) AS n_tokens,
+       -- NULL-text clamp (export-writer pattern): legacy Spark
+       -- size(NULL) = -1, ANSI Spark / DuckDB NULL — report 0 tokens
+       CAST(greatest(coalesce({n}(b.t), 0), 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(ds.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        coalesce(CASE WHEN ds.doc_id IS NULL THEN {join_arr}(b.t, ' ')
                      ELSE {join_arr}({keep}, ' ')
@@ -1664,7 +1708,9 @@ FROM base b LEFT JOIN ds ON b.doc_id = ds.doc_id
 """
 
 
-def _transcript_turns_cte(dialect: str, with_role: bool = False) -> str:
+def _transcript_turns_cte(
+    dialect: str, with_role: bool = False, role_block: int = 50
+) -> str:
     """Shared transcript mapping CTE ``turns(conv_id, turn_idx[, role],
     text)`` over the documents table (conv_id = doc_id % 50, turn_idx =
     doc_id / 50 — the same mapping as ``documents_as_transcripts`` and
@@ -1679,12 +1725,20 @@ def _transcript_turns_cte(dialect: str, with_role: bool = False) -> str:
     neighbours leaves two same-role turns adjacent in the non-tool
     message sequence) so the validator downstream has genuine positives
     to find. Both dialects produce byte-identical md5 hex, so the roles
-    agree exactly."""
+    agree exactly.
+
+    ``role_block``: the doc_id block size whose parity picks
+    user/assistant. The default 50 (= one turn per block) alternates
+    every turn; ``_conv_merge_runs`` passes 150 so 3-turn blocks share
+    a role and genuine same-role RUNS exist to merge. One knob on the
+    ONE shared CTE — a forked copy would silently desynchronize the
+    conv/turn mapping and the tool-coin rate across operators."""
     cast = "STRING" if dialect == "spark" else "VARCHAR"
     role = f"""
          CASE WHEN substr(md5(concat('role:', CAST(doc_id AS {cast}))),
                           1, 2) < '14' THEN 'tool'
-              WHEN CAST(floor(doc_id / 50.0) AS INT) % 2 = 0 THEN 'user'
+              WHEN CAST(floor(doc_id / {role_block}.0) AS INT) % 2 = 0
+                THEN 'user'
               ELSE 'assistant' END AS role,"""
     return f"""turns AS (
   SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS conv_id,
@@ -1770,7 +1824,13 @@ def _conv_truncate_tail(dialect: str, budget: int = 256) -> str:
     return f"""
 WITH {_transcript_turns_cte(dialect)},
 tok AS (
-  SELECT conv_id, turn_idx, {n}({toks}) AS n_tok FROM turns
+  -- NULL-text clamp (same pattern as the export writer): legacy Spark
+  -- size(NULL) = -1 would DECREMENT every later suffix sum and shift
+  -- the truncation boundary; ANSI Spark and DuckDB yield NULL, which
+  -- silently drops the turn from the budget. 0 tokens on both.
+  SELECT conv_id, turn_idx,
+         greatest(coalesce({n}({toks}), 0), 0) AS n_tok
+  FROM turns
 ),
 acc AS (
   SELECT conv_id, turn_idx, n_tok,
@@ -1928,15 +1988,7 @@ def _conv_pii_quarantine(dialect: str, rate: float = 0.2) -> str:
     the scrubbed form vs the original length — no second pass), and the
     conversation rollup is one map-side-combinable groupBy(conv_id);
     only (conv_id, one boolean) shuffles."""
-    email, ssn, ip = _pii_pats(dialect)
-    g = "" if dialect == "spark" else ", 'g'"
-    hit = (
-        f"length(text) != length(regexp_replace(regexp_replace("
-        f"regexp_replace(text,"
-        f" '{email}', ''{g}),"
-        f" '{ssn}', ''{g}),"
-        f" '{ip}', ''{g}))"
-    )
+    hit = _pii_hit(dialect)
     return f"""
 WITH {_transcript_turns_cte(dialect)},
 flagged AS (
@@ -1993,6 +2045,30 @@ FROM seq GROUP BY conv_id
 """
 
 
+def _encoding_exprs(dialect: str, col: str = "text") -> tuple[str, str, str]:
+    """(n_ctrl, n_repl, enc_ok) SQL expressions over ``col`` — the
+    caller coalesces NULLs into ``col`` first. enc_ok = zero C0 control
+    characters (tab/newline/CR excluded) and U+FFFD replacement ratio
+    <= 0.1%. Shared by quality_encoding and the export writer's turn
+    gate, so tightening the gate cannot desynchronize the audit from
+    the exported stream. The replacement char is embedded as a UTF-8
+    literal; both engines treat it as an ordinary 1-codepoint string."""
+    repl = "�"
+    if dialect == "spark":
+        ctrl = (
+            f"length({col}) - length(regexp_replace({col},"
+            " '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', ''))"
+        )
+    else:
+        ctrl = (
+            f"length({col}) - length(regexp_replace({col},"
+            " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))"
+        )
+    nrepl = f"length({col}) - length(replace({col}, '{repl}', ''))"
+    enc_ok = f"({ctrl} = 0 AND {nrepl} <= 0.001 * length({col}))"
+    return ctrl, nrepl, enc_ok
+
+
 def _quality_encoding(dialect: str) -> str:
     """Encoding-corruption quality gate: per document, the number of
     U+FFFD replacement characters (the scar a lossy decode leaves) and
@@ -2007,20 +2083,7 @@ def _quality_encoding(dialect: str) -> str:
     Scale shape: pure per-row JVM expressions (replace + regexp_replace
     length deltas) in the scan projection — no shuffle at all; the
     filter composes into any downstream pipeline scan-side."""
-    # the replacement char is embedded as a UTF-8 literal; both engines
-    # treat it as an ordinary 1-codepoint string
-    repl = "�"
-    if dialect == "spark":
-        ctrl = (
-            "length(text) - length(regexp_replace(text,"
-            " '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', ''))"
-        )
-    else:
-        ctrl = (
-            "length(text) - length(regexp_replace(text,"
-            " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))"
-        )
-    nrepl = f"length(text) - length(replace(text, '{repl}', ''))"
+    ctrl, nrepl, _ = _encoding_exprs(dialect)
     return f"""
 SELECT doc_id,
        CAST({nrepl} AS BIGINT) AS n_repl_chars,
@@ -2616,15 +2679,7 @@ def _conv_select_final(
     ``_prefix_key_safe`` — degenerate openings never count as loops."""
     toks = _tokens(dialect)
     p = _prefix_key_safe(dialect, toks)
-    email, ssn, ip = _pii_pats(dialect)
-    g = "" if dialect == "spark" else ", 'g'"
-    pii_hit = (
-        f"length(text) != length(regexp_replace(regexp_replace("
-        f"regexp_replace(text,"
-        f" '{email}', ''{g}),"
-        f" '{ssn}', ''{g}),"
-        f" '{ip}', ''{g}))"
-    )
+    pii_hit = _pii_hit(dialect)
     keep = _KEEP_EXPR_SPARK if dialect == "spark" else _KEEP_EXPR_DUCK
     canon = _conv_canon_key(dialect)  # NULL-tagged; see _conv_canon_key
     return f"""
@@ -2779,20 +2834,11 @@ def _conv_merge_runs(dialect: str) -> str:
 
     Role synthesis: the SHARED parity mapping alternates user/assistant
     on every turn, so same-role adjacency can never occur and the merge
-    path would go ungraded; this operator therefore assigns non-tool
-    roles in BLOCKS of three turns (same md5 tool coin), giving the
+    path would go ungraded; this operator therefore passes
+    ``role_block=150`` to the SHARED turns CTE (3-turn blocks share a
+    role, same md5 tool coin and conv/turn mapping), giving the
     synthetic corpus genuine runs to merge."""
-    cast = "STRING" if dialect == "spark" else "VARCHAR"
-    turns_cte = f"""turns AS (
-  SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS conv_id,
-         CAST(floor(doc_id / 50.0) AS INT) AS turn_idx,
-         CASE WHEN substr(md5(concat('role:', CAST(doc_id AS {cast}))),
-                          1, 2) < '14' THEN 'tool'
-              WHEN CAST(floor(doc_id / 150.0) AS INT) % 2 = 0 THEN 'user'
-              ELSE 'assistant' END AS role,
-         text
-  FROM documents
-)"""
+    turns_cte = _transcript_turns_cte(dialect, with_role=True, role_block=150)
     # each element coalesced to '' BEFORE aggregating: Spark's array_join
     # drops NULL elements (losing their separator) and DuckDB's
     # string_agg skips NULL inputs but returns NULL for an all-NULL run —
@@ -2906,36 +2952,9 @@ def _transcript_export_final(dialect: str) -> str:
     turn-level shuffle carries unscrubbed text out of the operator."""
     toks_out = _tokens(dialect, "text_out")
     n = "size" if dialect == "spark" else "len"
-    email, ssn, ip = _pii_pats(dialect)
-    g = "" if dialect == "spark" else ", 'g'"
-    scrub = (
-        f"regexp_replace(regexp_replace(regexp_replace(text,"
-        f" '{email}', '[EMAIL]'{g}),"
-        f" '{ssn}', '[SSN]'{g}),"
-        f" '{ip}', '[IP]'{g})"
-    )
+    scrub = _pii_scrub_expr(dialect)
     keep = _KEEP_EXPR_SPARK if dialect == "spark" else _KEEP_EXPR_DUCK
-    repl = "�"
-    if dialect == "spark":
-        ctrl = (
-            "length(coalesce(text, '')) - length(regexp_replace("
-            "coalesce(text, ''),"
-            " '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', ''))"
-        )
-    else:
-        ctrl = (
-            "length(coalesce(text, '')) - length(regexp_replace("
-            "coalesce(text, ''),"
-            " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))"
-        )
-    nrepl = (
-        f"length(coalesce(text, '')) -"
-        f" length(replace(coalesce(text, ''), '{repl}', ''))"
-    )
-    enc_ok = (
-        f"({ctrl} = 0 AND {nrepl}"
-        f" <= 0.001 * length(coalesce(text, '')))"
-    )
+    _, _, enc_ok = _encoding_exprs(dialect, "coalesce(text, '')")
     win = "(PARTITION BY conv_id ORDER BY turn_idx)"
     wsum = (
         "(PARTITION BY conv_id ORDER BY turn_idx"
@@ -2955,7 +2974,8 @@ gated AS (
 exported AS (
   SELECT g.conv_id, g.turn_idx, g.role, g.text_out,
          -- total on NULL text (an exportable tool turn may carry none):
-         -- Spark size(NULL)=-1 vs DuckDB len(NULL)=NULL both clamp to 0
+         -- ANSI Spark/DuckDB yield NULL, legacy Spark size(NULL) = -1;
+         -- the coalesce+greatest clamps BOTH semantics to 0
          greatest(coalesce({n}({toks_out}), 0), 0) AS n_tok
   FROM gated g JOIN sel ON g.conv_id = sel.conv_id
   WHERE sel.selected AND g.keep_turn = 1
