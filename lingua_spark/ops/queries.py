@@ -2900,6 +2900,45 @@ SQL_QUERIES["conv_merge_runs"] = (
 )
 
 
+def _conv_train_val_split(dialect: str, val_pct: int = 10) -> str:
+    """Leakage-safe train/validation split: the unit of assignment is
+    the CONVERSATION, never the turn — turns of one conversation must
+    all land in the same split or the validation set sees text whose
+    near-verbatim sibling turns were trained on (the classic
+    transcript-split leak; same reason dedup clusters cross-contaminate
+    random row-level splits). Assignment is a deterministic md5 coin on
+    conv_id (byte-identical hex in both engines, same lane trick as the
+    role coin): reproducible across runs, machines and engines — no
+    sampling state to persist — and any future conversation gets the
+    same split without reshuffling history (incremental-ingest safe).
+    ``val_pct``: percent of the md5 space mapped to 'val' via the first
+    two hex digits (256 lanes; {val_pct}% -> lanes below
+    256*{val_pct}/100).
+
+    Scale shape: the coin is a scan-side expression on the 8-byte
+    conv_id — the split adds NO shuffle to whatever pipeline it
+    composes into; output is turn-level so writers can filter
+    directly."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    cut = 256 * val_pct // 100
+    coin = (
+        f"substr(md5(concat('split:', CAST(conv_id AS {cast}))), 1, 2)"
+        f" < '{cut:02x}'"
+    )
+    return f"""
+WITH {_transcript_turns_cte(dialect)}
+SELECT conv_id, turn_idx,
+       CASE WHEN {coin} THEN 'val' ELSE 'train' END AS split
+FROM turns
+"""
+
+
+SQL_QUERIES["conv_train_val_split"] = (
+    _conv_train_val_split("spark"),
+    _conv_train_val_split("duckdb"),
+)
+
+
 def _conv_drop_attribution(dialect: str) -> str:
     """Conversation-level drop ATTRIBUTION rollup: per ``drop_reason``
     (the priority-ordered first-failure from ``conv_select_final``),

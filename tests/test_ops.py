@@ -2822,3 +2822,40 @@ def test_semdedup_cell_sizes_audit(spark):
     assert got.cell.tolist() == want.cell.tolist()
     assert got.n_vectors.tolist() == want.n_vectors.tolist()
     assert got.n_vectors.sum() == len(emb)
+
+
+def test_conv_train_val_split_integrity(spark):
+    """The train/val split is conversation-atomic (no conversation
+    straddles splits — the transcript leakage trap), deterministic
+    across runs, dialect-identical, and the val fraction tracks the
+    md5-lane cut on a real corpus."""
+    import duckdb
+    import hashlib
+
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(SQL_QUERIES["conv_train_val_split"][0]).toPandas()
+    # conversation-atomic: one distinct split value per conversation
+    per_conv = got.groupby("conv_id").split.nunique()
+    assert (per_conv == 1).all()
+    # deterministic + engine-identical: DuckDB twin agrees row-for-row
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    want = con.sql(SQL_QUERIES["conv_train_val_split"][1]).df()
+    key = ["conv_id", "turn_idx"]
+    assert (
+        got.sort_values(key).reset_index(drop=True)
+        .equals(want.sort_values(key).reset_index(drop=True))
+    )
+    # the coin matches an independent Python recomputation
+    for conv, grp in got.groupby("conv_id"):
+        coin = hashlib.md5(f"split:{conv}".encode()).hexdigest()[:2]
+        expect = "val" if coin < f"{256 * 10 // 100:02x}" else "train"
+        assert (grp.split == expect).all(), conv
+    # both splits nonempty at 50 conversations (md5 lanes: ~10% val)
+    assert set(got.split) == {"train", "val"}
