@@ -2161,6 +2161,46 @@ SQL_QUERIES["decontaminate_ngram"] = (
     _decontaminate("spark"),
     _decontaminate("duckdb"),
 )
+
+
+def _decontaminate_minhash(
+    dialect: str, eval_mod: int = 97, min_bands: int = 2
+) -> str:
+    """FUZZY benchmark decontamination: ``decontaminate_ngram`` catches
+    verbatim shingle overlap; an eval item lightly paraphrased into the
+    training set (whitespace/punctuation edits, reordered sentences)
+    slips past exact shingles. This operator flags a training doc whose
+    minhash signature collides with ANY eval doc's in >= {min_bands} of
+    the 4 LSH bands — the same J ~ 0.8 merge operating point (and the
+    same shared signature/band SQL) as the near-dup pair path, so
+    "near-duplicate of an eval doc" here is exactly "near-duplicate"
+    everywhere else in the engine.
+
+    Scale shape: NO pair explosion — the eval side collapses to its
+    DISTINCT (band, band-key) set (tiny: the benchmark corpus), and the
+    training side semi-joins against it on the 16-byte band key;
+    Spark broadcasts the eval side. Each doc contributes 4 band rows,
+    so the per-doc match count needs no DISTINCT."""
+    bands = _minhash_bands(dialect)
+    return f"""{bands},
+ev AS (
+  SELECT DISTINCT band, bkey FROM bands WHERE doc_id % {eval_mod} = 0
+),
+tr AS (
+  SELECT doc_id, band, bkey FROM bands WHERE doc_id % {eval_mod} <> 0
+)
+SELECT tr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM tr JOIN ev ON tr.band = ev.band AND tr.bkey = ev.bkey
+GROUP BY tr.doc_id
+HAVING count(*) >= {min_bands}
+"""
+
+
+SQL_QUERIES["decontaminate_minhash"] = (
+    _decontaminate_minhash("spark"),
+    _decontaminate_minhash("duckdb"),
+)
 SQL_QUERIES["conv_dedup_exact"] = (
     _conv_dedup_exact("spark"),
     _conv_dedup_exact("duckdb"),

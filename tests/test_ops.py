@@ -2859,3 +2859,40 @@ def test_conv_train_val_split_integrity(spark):
         assert (grp.split == expect).all(), conv
     # both splits nonempty at 50 conversations (md5 lanes: ~10% val)
     assert set(got.split) == {"train", "val"}
+
+
+def test_decontaminate_minhash_catches_paraphrase(spark):
+    """Fuzzy decontamination flags a lightly-edited copy of an eval doc
+    (punctuation/casing edits that defeat exact shingle overlap between
+    CLEANED variants is hard to construct; here one word changed out of
+    40 keeps jaccard ~0.9) and does not flag unrelated docs; DuckDB twin
+    agrees."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    base = ("the quick brown fox jumps over the lazy dog while carrying "
+            "a heavy basket of fresh fruit toward the old market square "
+            "where vendors gather every morning to trade stories and "
+            "goods before the crowds arrive at nine")
+    near = base.replace("basket", "crate")  # one-token edit, J ~ 0.9
+    rows = [
+        (0, base),        # eval slice: doc_id % 97 == 0
+        (5, near),        # train: near-dup of the eval doc -> flagged
+        (7, "completely unrelated text about differential equations and "
+            "numerical stability in long simulations of fluid dynamics "
+            "on adaptive meshes with implicit time stepping schemes and "
+            "careful boundary condition handling throughout the solver"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = spark.sql(SQL_QUERIES["decontaminate_minhash"][0]).toPandas()
+    assert set(got.doc_id) == {5}
+    assert int(got.n_shared_bands.iloc[0]) >= 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = con.sql(SQL_QUERIES["decontaminate_minhash"][1]).df()
+    assert set(want.doc_id) == {5}
