@@ -2896,3 +2896,33 @@ def test_decontaminate_minhash_catches_paraphrase(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
     want = con.sql(SQL_QUERIES["decontaminate_minhash"][1]).df()
     assert set(want.doc_id) == {5}
+
+
+def test_train_val_split_and_fuzzy_decontam_plan_shapes(spark):
+    """Plan gates for the round-4 additions: the train/val split is a
+    pure scan-side expression (ZERO exchanges — the split must add no
+    shuffle to whatever pipeline it composes into), and fuzzy
+    decontamination broadcasts the eval band-key side (the training
+    side must never be broadcast or pair-exploded)."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    split_plan = (
+        spark.sql(SQL_QUERIES["conv_train_val_split"][0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in split_plan, split_plan
+    assert split_plan.count("Scan parquet") == 1, split_plan
+
+    fuzzy_plan = (
+        spark.sql(SQL_QUERIES["decontaminate_minhash"][0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert fuzzy_plan.count("BroadcastHashJoin") == 1, fuzzy_plan
+    # the broadcast subtree is the eval slice (filters doc_id % 97 = 0)
+    import re
+
+    bcast = fuzzy_plan[fuzzy_plan.index("BroadcastExchange"):]
+    assert re.search(r"% 97\)\) = 0", bcast) or "% 97) = 0" in bcast, (
+        "broadcast side is not the eval slice"
+    )
