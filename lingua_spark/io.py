@@ -39,6 +39,17 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
+def resolve_transcript_format(source: str) -> str:
+    """``format="auto"`` resolution: the suffix rule runs FIRST — a bare
+    relative filename like ``dump.jsonl`` contains a dot but no slash
+    and must not route to the iceberg table-name rule."""
+    if source.rstrip("/").endswith((".jsonl", ".json")):
+        return "jsonl"
+    if "." in source and "/" not in source:
+        return "iceberg"
+    return "parquet"
+
+
 def _validate(df: DataFrame, source: str) -> DataFrame:
     missing = [c for c in TRANSCRIPT_COLUMNS if c not in df.columns]
     if missing:
@@ -77,14 +88,7 @@ def read_transcripts(
     parquet/iceberg before iterating on 100 TB).
     """
     if format == "auto":
-        # suffix rule first: a bare relative filename like "dump.jsonl"
-        # contains a dot but no slash and must not route to iceberg
-        if source.rstrip("/").endswith((".jsonl", ".json")):
-            format = "jsonl"
-        elif "." in source and "/" not in source:
-            format = "iceberg"
-        else:
-            format = "parquet"
+        format = resolve_transcript_format(source)
     if format == "jsonl":
         df = (
             spark.read.schema(TRANSCRIPT_SCHEMA)

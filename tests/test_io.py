@@ -170,3 +170,18 @@ def test_bucketed_conv_rollup_needs_no_exchange(spark, tmp_path):
     assert "Exchange" not in pj.replace("BroadcastExchange", ""), pj
     assert joined.count() == df.count()
     spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_resolve_transcript_format_routing():
+    """format='auto' routing: suffix beats the dotted-table-name rule —
+    a bare relative filename like 'dump.jsonl' must read as jsonl, not
+    raise from the iceberg catalog path."""
+    from lingua_spark.io import resolve_transcript_format as r
+
+    assert r("dump.jsonl") == "jsonl"
+    assert r("dump.json") == "jsonl"
+    assert r("/data/in/part.jsonl") == "jsonl"
+    assert r("s3a://bucket/day=1/file.jsonl/") == "jsonl"
+    assert r("cat.db.transcripts") == "iceberg"
+    assert r("/data/transcripts") == "parquet"
+    assert r("relative_dir") == "parquet"
