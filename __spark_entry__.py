@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.queries import fingerprint_pairs_df
 
     out["dedup_fingerprint_pairs_df"] = fingerprint_pairs_df
+    # persisted-counts DF twin of model_train_ngrams (one corpus-sized
+    # explode instead of two); value-identical, shares the SQL oracle
+    from lingua_spark.ops.queries import model_train_df
+
+    out["model_train_df"] = model_train_df
     # union-find over the LSH pair graph -> per-doc cluster rep + keep flag
     # (iterative label propagation in Spark; recursive-CTE closure oracle)
     out["dedup_minhash_cc"] = dedup_minhash_cc
@@ -137,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
     # the DF variants compute the same results as the SQL forms
     out["dedup_jaccard_pairs_df"] = out["dedup_jaccard_pairs"]
     out["dedup_fingerprint_pairs_df"] = out["dedup_fingerprint_pairs"]
+    out["model_train_df"] = out["model_train_ngrams"]
     # independent-algorithm oracle: recursive-CTE transitive closure vs
     # the Spark side's iterative label propagation
     from lingua_spark.ops.queries import (

@@ -132,35 +132,15 @@ def _bench_queries(spark) -> dict[str, float]:
 
 
 def _bench_df_queries(spark) -> dict[str, float]:
-    from lingua_spark.ops.queries import (
-        conv_stats_salted,
-        corpus_select_final,
-        dedup_minhash_cc,
-        fingerprint_pairs_df,
-        conv_minhash_cc,
-        conv_select_with_neardup,
-        jaccard_pairs_df,
-        transcript_export_full,
-        model_train_df,
-    )
-    from lingua_spark.ops.budget import token_budget_select
-    from lingua_spark.ops.incremental import dedup_incremental_bloom
-    from lingua_spark.ops.similarity import dedup_semantic
+    # single source of truth: the driver-contract registry — a name in
+    # DF_QUERIES that queries() doesn't export fails HERE, before any
+    # warm-up work, instead of drifting into a mid-benchmark KeyError
+    from __spark_entry__ import queries as entry_queries
 
-    fns = {
-        "dedup_jaccard_pairs_df": jaccard_pairs_df,
-        "dedup_minhash_cc": dedup_minhash_cc,
-        "corpus_select_final": corpus_select_final,
-        "conv_stats_salted": conv_stats_salted,
-        "dedup_semantic": dedup_semantic,
-        "dedup_fingerprint_pairs_df": fingerprint_pairs_df,
-        "corpus_token_budget": token_budget_select,
-        "dedup_incremental": dedup_incremental_bloom,
-        "model_train_df": model_train_df,
-        "conv_minhash_cc": conv_minhash_cc,
-        "conv_select_with_neardup": conv_select_with_neardup,
-        "transcript_export_full": transcript_export_full,
-    }
+    registry = entry_queries()
+    missing = [n for n in DF_QUERIES if n not in registry]
+    assert not missing, f"DF_QUERIES not in __spark_entry__.queries(): {missing}"
+    fns = {name: registry[name] for name in DF_QUERIES}
     times: dict[str, float] = {}
     for name in DF_QUERIES:
         fn = fns[name]

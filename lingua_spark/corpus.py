@@ -472,6 +472,18 @@ def heldout_vocabulary(lang_name: str, count: int = 200) -> list[str]:
             continue
         seen.add(word)
         words.append(word)
+    if len(words) < count:
+        # no-silent-caps: a short return would make the eval corpus
+        # silently recycle words via modulo wrap-around downstream,
+        # reporting accuracy over fewer distinct held-out forms than
+        # ACCURACY_HELDOUT.md claims
+        raise RuntimeError(
+            f"heldout_vocabulary({lang_name!r}): only {len(words)} of"
+            f" {count} distinct unseen word forms after"
+            f" {attempts} attempts — the syllable inventory collides"
+            " too heavily with the training vocabulary; lower `count`"
+            " or widen the inventory"
+        )
     return words
 
 
@@ -488,27 +500,9 @@ def heldout_accuracy_corpus(
     for name in names:
         vocab = heldout_vocabulary(name, count=max(200, 2 * per_category))
         rng = np.random.default_rng(_lang_seed(name, "heldout-accuracy"))
-        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
-        probs = (1.0 / ranks) / (1.0 / ranks).sum()
-
-        def sample(k: int) -> str:
-            idx = rng.choice(len(vocab), size=k, p=probs)
-            return " ".join(vocab[i] for i in idx)
-
-        perm = rng.permutation(len(vocab))
-        singles = [vocab[perm[i % len(perm)]] for i in range(per_category)]
-        perm2 = rng.permutation(len(vocab))
-        pairs = [
-            vocab[perm2[(2 * i) % len(perm2)]]
-            + " "
-            + vocab[perm2[(2 * i + 1) % len(perm2)]]
-            for i in range(per_category)
-        ]
-        iso = L.BY_NAME[name].iso1
-        for i in range(per_category):
-            rows.append((iso, "single-word", i, singles[i]))
-            rows.append((iso, "word-pair", i, pairs[i]))
-            rows.append((iso, "sentence", i, sample(int(rng.integers(6, 14)))))
+        rows.extend(
+            _corpus_rows(vocab, rng, per_category, L.BY_NAME[name].iso1)
+        )
     return pd.DataFrame(rows, columns=["lang", "category", "item_id", "text"])
 
 
@@ -592,6 +586,41 @@ def training_corpus(languages: list[str] | None = None) -> dict[str, list[str]]:
     return {name: training_lines(name) for name in names}
 
 
+def _corpus_rows(
+    vocab: list[str], rng, per_category: int, iso: str
+) -> list[tuple]:
+    """ONE sampling body for the in-distribution and held-out accuracy
+    corpora (the held-out set must be the methodological TWIN of the
+    in-distribution one — a one-sided edit to the word-pair scheme or
+    the sentence-length draw would silently invalidate the comparison):
+    uniform distinct draws for single words / pairs (reference word-list
+    style; permutations recycle deterministically if per_category >
+    len(vocab)), Zipf draw for sentences. RNG call order is the
+    contract — snapshots pin the exact streams."""
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+
+    def sample(k: int) -> str:
+        idx = rng.choice(len(vocab), size=k, p=probs)
+        return " ".join(vocab[i] for i in idx)
+
+    perm = rng.permutation(len(vocab))
+    singles = [vocab[perm[i % len(perm)]] for i in range(per_category)]
+    perm2 = rng.permutation(len(vocab))
+    pairs = [
+        vocab[perm2[(2 * i) % len(perm2)]]
+        + " "
+        + vocab[perm2[(2 * i + 1) % len(perm2)]]
+        for i in range(per_category)
+    ]
+    rows = []
+    for i in range(per_category):
+        rows.append((iso, "single-word", i, singles[i]))
+        rows.append((iso, "word-pair", i, pairs[i]))
+        rows.append((iso, "sentence", i, sample(int(rng.integers(6, 14)))))
+    return rows
+
+
 def accuracy_corpus(
     languages: list[str] | None = None, per_category: int = 30
 ) -> pd.DataFrame:
@@ -610,29 +639,9 @@ def accuracy_corpus(
     for name in names:
         vocab = vocabulary(name)
         rng = np.random.default_rng(_lang_seed(name, "accuracy"))
-        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
-        probs = (1.0 / ranks) / (1.0 / ranks).sum()
-
-        def sample(k: int) -> str:
-            idx = rng.choice(len(vocab), size=k, p=probs)
-            return " ".join(vocab[i] for i in idx)
-
-        # distinct-word draws, reference word-list style; permutation
-        # recycles deterministically if per_category > len(vocab)
-        perm = rng.permutation(len(vocab))
-        singles = [vocab[perm[i % len(perm)]] for i in range(per_category)]
-        perm2 = rng.permutation(len(vocab))
-        pairs = [
-            vocab[perm2[(2 * i) % len(perm2)]]
-            + " "
-            + vocab[perm2[(2 * i + 1) % len(perm2)]]
-            for i in range(per_category)
-        ]
-        iso = L.BY_NAME[name].iso1
-        for i in range(per_category):
-            rows.append((iso, "single-word", i, singles[i]))
-            rows.append((iso, "word-pair", i, pairs[i]))
-            rows.append((iso, "sentence", i, sample(int(rng.integers(6, 14)))))
+        rows.extend(
+            _corpus_rows(vocab, rng, per_category, L.BY_NAME[name].iso1)
+        )
     return pd.DataFrame(rows, columns=["lang", "category", "item_id", "text"])
 
 

@@ -50,6 +50,20 @@ from .queries import _tokens, register_views
 SCORE_SCALE = 10_000
 
 
+def _exact_budget(total: int, budget_frac: float) -> int:
+    """floor(total * budget_frac) in EXACT integer arithmetic. DuckDB
+    parses the fraction literal as DECIMAL and floors exactly, while
+    float64 ``int(total * 0.4)`` rounds — at petabyte token totals
+    (~7e15) the two disagree by 1 token, flipping a boundary document
+    in or out of the selection and failing the oracle gate at exactly
+    the scale this module is designed for. ``Fraction`` of the decimal
+    string reproduces the DECIMAL semantics."""
+    from fractions import Fraction
+
+    frac = Fraction(str(budget_frac))
+    return total * frac.numerator // frac.denominator
+
+
 def _scored_sql(dialect: str) -> str:
     """Per-doc (doc_id, tokens, score): whitespace token count and the
     integer-scaled distinct-token ratio. All-integer output so ordering
@@ -98,7 +112,7 @@ def token_budget_select(
         .collect()
     )
     total = sum(r.bucket_tokens for r in hist)
-    budget = int(total * budget_frac)
+    budget = _exact_budget(total, budget_frac)
 
     # Phase 2: driver prefix-sum, descending score.
     taken = 0

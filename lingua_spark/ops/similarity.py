@@ -493,6 +493,20 @@ def nearest_cell(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+def _cell_udf(bc):
+    """pandas-UDF factory for nearest-centroid cell assignment over a
+    broadcast codebook — the ONE assignment closure shared by ivf_ann
+    and semdedup (same rationale as nearest_cell: a one-sided edit must
+    not let IVF and SemDeDup assign cells differently)."""
+
+    @F.pandas_udf(LongType())
+    def cell_of(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(nearest_cell(mat, bc.value))
+
+    return cell_of
+
+
 def kmeans_centroids(
     mat: np.ndarray, n_cells: int = 32, iters: int = 8, seed: int = 11
 ) -> np.ndarray:
@@ -553,11 +567,7 @@ def ivf_ann(
     cent = kmeans_centroids(_train_sample(emb, n_vectors), n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
 
-    @F.pandas_udf(LongType())
-    def cell_of(embs: pd.Series) -> pd.Series:
-        c = bc.value
-        mat = np.stack(embs.to_numpy()).astype(np.float64)
-        return pd.Series(nearest_cell(mat, c))
+    cell_of = _cell_udf(bc)
 
     with_cell = emb.select(
         "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
@@ -806,11 +816,7 @@ def _semdedup_with_cell(
     cent = kmeans_centroids(_train_sample(emb, n_vectors), n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
 
-    @F.pandas_udf(LongType())
-    def cell_of(embs: pd.Series) -> pd.Series:
-        c = bc.value
-        mat = np.stack(embs.to_numpy()).astype(np.float64)
-        return pd.Series(nearest_cell(mat, c))
+    cell_of = _cell_udf(bc)
 
     with_cell = emb.select(
         "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
@@ -894,29 +900,12 @@ def semdedup(
         vec_ids = pdf["vec_id"].to_numpy()
         cell = int(pdf["cell"].iloc[0])
         nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cn = c[cell] / np.linalg.norm(c[cell])
-        csim = nrm @ cn
-        order = np.lexsort((vec_ids, csim))  # priority: csim asc, id asc
-        P = nrm[order] @ nrm[order].T
-        dom = np.tril(P >= tau, -1)  # j earlier than i in priority order
-        keep = ~dom.any(axis=1)
-        first = dom.argmax(axis=1)  # first dominating j where any
-        rows = []
-        for k in range(len(order)):
-            i = order[k]
-            rows.append(
-                (
-                    int(vec_ids[i]),
-                    cell,
-                    float(
-                        np.sign(csim[i])
-                        * np.floor(np.abs(csim[i]) * 1e4 + 0.5)
-                        / 1e4
-                    ),
-                    bool(keep[k]),
-                    None if keep[k] else int(vec_ids[order[first[k]]]),
-                )
+        rows = [
+            (vid, cell, sim, kp, dup)
+            for vid, sim, kp, dup in _semdedup_cell_rows(
+                nrm, vec_ids, c[cell], tau
             )
+        ]
         return pd.DataFrame(
             rows, columns=["vec_id", "cell", "centroid_sim", "keep", "dup_of"]
         )
@@ -926,6 +915,34 @@ def semdedup(
         "vec_id long, cell long, centroid_sim double, keep boolean,"
         " dup_of long",
     )
+
+
+def _semdedup_cell_rows(nrm, vec_ids, centroid, tau):
+    """The SemDeDup within-cell core — priority order (centroid-cosine
+    ascending, vec_id ascending), lower-triangular domination at
+    ``tau``, first-dominator attribution, HALF_UP 4-decimal rounding —
+    over a cell's NORMALIZED vectors. ONE implementation shared by the
+    engine's applyInPandas closure and the NumPy fixture twin (same
+    pattern as ``nearest_cell``): these must stay bit-identical for the
+    fixture gate to mean anything, so drift is made impossible rather
+    than tested for. Yields (vec_id, centroid_sim, keep, dup_of)."""
+    cn = centroid / np.linalg.norm(centroid)
+    csim = nrm @ cn
+    order = np.lexsort((vec_ids, csim))  # priority: csim asc, id asc
+    P = nrm[order] @ nrm[order].T
+    dom = np.tril(P >= tau, -1)  # j earlier than i in priority order
+    keep = ~dom.any(axis=1)
+    first = dom.argmax(axis=1)  # first dominating j where any
+    for k in range(len(order)):
+        i = order[k]
+        yield (
+            int(vec_ids[i]),
+            float(
+                np.sign(csim[i]) * np.floor(np.abs(csim[i]) * 1e4 + 0.5) / 1e4
+            ),
+            bool(keep[k]),
+            None if keep[k] else int(vec_ids[order[first[k]]]),
+        )
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,30 +971,12 @@ def expected_semdedup(
     rows = []
     for cell in sorted(set(int(a) for a in assign)):
         idx = np.flatnonzero(assign == cell)
-        cn = cent[cell] / np.linalg.norm(cent[cell])
-        csim = nrm[idx] @ cn
-        order = np.lexsort((vec_ids[idx], csim))
-        P = nrm[idx][order] @ nrm[idx][order].T
-        dom = np.tril(P >= tau, -1)
-        keep = ~dom.any(axis=1)
-        first = dom.argmax(axis=1)
-        for k in range(len(order)):
-            i = idx[order[k]]
-            rows.append(
-                (
-                    int(vec_ids[i]),
-                    cell,
-                    float(
-                        np.sign(csim[order[k]])
-                        * np.floor(np.abs(csim[order[k]]) * 1e4 + 0.5)
-                        / 1e4
-                    ),
-                    bool(keep[k]),
-                    None
-                    if keep[k]
-                    else int(vec_ids[idx[order[first[k]]]]),
-                )
+        rows.extend(
+            (vid, cell, sim, kp, dup)
+            for vid, sim, kp, dup in _semdedup_cell_rows(
+                nrm[idx], vec_ids[idx], cent[cell], tau
             )
+        )
     out = pd.DataFrame(
         rows, columns=["vec_id", "cell", "centroid_sim", "keep", "dup_of"]
     )

@@ -130,3 +130,18 @@ def test_incremental_bloom_prefilter_actually_filters(spark):
     # under 1%; require the prefilter to kill at least half the corpus
     assert n_survive - n_true <= max(10, n_corpus // 100)
     assert n_survive < n_corpus // 2
+
+
+def test_exact_budget_matches_decimal_floor_at_petabyte_totals():
+    """The budget must be computed in exact integer arithmetic: float64
+    total*0.4 rounds up by one token at ~7e15 totals while DuckDB's
+    DECIMAL floor is exact — a 1-token budget difference flips a
+    boundary document."""
+    from lingua_spark.ops.budget import _exact_budget
+
+    total = 7_039_962_107_496_397
+    assert _exact_budget(total, 0.4) == total * 2 // 5  # 2815984842998558
+    assert int(total * 0.4) != _exact_budget(total, 0.4)  # the float bug
+    assert _exact_budget(10, 0.4) == 4
+    assert _exact_budget(0, 0.4) == 0
+    assert _exact_budget(7, 0.5) == 3
