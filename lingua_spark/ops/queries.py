@@ -2979,6 +2979,67 @@ SQL_QUERIES["conv_train_val_split"] = (
 )
 
 
+def _embedding_sanity(dialect: str, expected_dim: int = 64) -> str:
+    """Embedding-table VALIDATION gate — run before any ANN/dedup/
+    clustering consumer: a single NaN vector poisons k-means centroids
+    and cosine scores silently (NaN propagates through matmuls into
+    every comparison), a zero vector makes cosine undefined, and a
+    dimension mismatch breaks batch matrix shapes only at runtime on
+    whatever executor first sees the bad row. Per vector: dimension,
+    L2 norm (rounded, for the gate and for norm-drift monitoring),
+    NaN flag, and a total ``sane`` verdict (NULL embedding -> not sane).
+
+    Scale shape: pure scan-side higher-order array expressions in both
+    engines — no shuffle, composes into any pipeline scan.
+
+    NULL ELEMENTS inside the array are coalesced to NaN before any
+    arithmetic: the engines genuinely diverge on them otherwise —
+    DuckDB's ``list_sum`` SKIPS NULL elements (a null-element vector
+    gets a plausible-looking norm) while Spark's ``aggregate``
+    propagates NULL. Coalescing to NaN makes a null element poison the
+    norm identically in both engines, and ``has_nan`` covers both
+    corruption classes (a separate ``has_null`` attributes which)."""
+    # NULL element -> NaN, so arithmetic poisons identically in both
+    # engines (CAST('NaN' AS DOUBLE) is NaN in both)
+    cx = "coalesce(CAST(x AS DOUBLE), CAST('NaN' AS DOUBLE))"
+    if dialect == "spark":
+        dim = "size(embedding)"
+        norm = (
+            f"sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + {cx} * {cx}))"
+        )
+        nan = f"exists(embedding, x -> isnan({cx}))"
+        nul = "exists(embedding, x -> x IS NULL)"
+    else:
+        dim = "len(embedding)"
+        norm = (
+            f"sqrt(list_sum(list_transform(embedding,"
+            f" x -> {cx} * {cx})))"
+        )
+        # len(), not list_count(): list_count skips NULL elements, and
+        # list_filter keeps the ORIGINAL (possibly NULL) element where
+        # the predicate held — a matched NULL element would go uncounted
+        nan = f"len(list_filter(embedding, x -> isnan({cx}))) > 0"
+        nul = "len(list_filter(embedding, x -> x IS NULL)) > 0"
+    return f"""
+SELECT vec_id,
+       CAST({dim} AS BIGINT) AS dim,
+       round({norm}, 4) AS norm,
+       CAST({nan} AS BOOLEAN) AS has_nan,
+       CAST({nul} AS BOOLEAN) AS has_null,
+       CAST(coalesce({dim} = {expected_dim}
+                     AND NOT {nan}
+                     AND {norm} > 0, FALSE) AS BOOLEAN) AS sane
+FROM embeddings
+"""
+
+
+SQL_QUERIES["embedding_sanity"] = (
+    _embedding_sanity("spark"),
+    _embedding_sanity("duckdb"),
+)
+
+
 def _conv_drop_attribution(dialect: str) -> str:
     """Conversation-level drop ATTRIBUTION rollup: per ``drop_reason``
     (the priority-ordered first-failure from ``conv_select_final``),

@@ -1933,7 +1933,7 @@ def test_all_document_queries_degenerate_corpus_parity(spark):
     # are exercised by the driver's oracle gate on the real corpus
     needs_other_tables = {
         "k2_argmax_window", "a6_lang_agg", "sim_cosine_topk",
-        "w1_sessionize", "session_window_batch",
+        "w1_sessionize", "session_window_batch", "embedding_sanity",
     }
     checked = 0
     for name, (ssql, dsql) in SQL_QUERIES.items():
@@ -2925,4 +2925,56 @@ def test_train_val_split_and_fuzzy_decontam_plan_shapes(spark):
     bcast = fuzzy_plan[fuzzy_plan.index("BroadcastExchange"):]
     assert re.search(r"% 97\)\) = 0", bcast) or "% 97) = 0" in bcast, (
         "broadcast side is not the eval slice"
+    )
+
+
+def test_embedding_sanity_flags_corrupt_vectors(spark):
+    """embedding_sanity catches the vector classes that silently poison
+    downstream ANN/k-means (NaN, zero vector, wrong dimension, NULL) and
+    passes clean vectors; DuckDB twin agrees row-for-row."""
+    import math
+
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    good = [0.0] * 63 + [2.0]
+    rows = [
+        (0, good),                      # sane (norm 2.0)
+        (1, [float("nan")] + [0.0] * 63),  # NaN (duckdb param binding
+        #   stores this element as NULL — has_nan must still fire via
+        #   the coalesce-to-NaN rule, same as a real parquet NaN)
+        (2, [0.0] * 64),                # zero vector
+        (3, [1.0] * 8),                 # wrong dim
+        (4, None),                      # NULL embedding
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).createOrReplaceTempView("embeddings")
+    got = (
+        spark.sql(SQL_QUERIES["embedding_sanity"][0])
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert got.sane.tolist() == [True, False, False, False, False]
+    assert got.loc[0, "norm"] == 2.0
+    assert bool(got.loc[1, "has_nan"])
+    assert got.loc[2, "norm"] == 0.0
+    assert got.loc[3, "dim"] == 8
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    for i, e in rows:
+        con.execute("INSERT INTO embeddings VALUES (?, ?)", [i, e])
+    want = (
+        con.sql(SQL_QUERIES["embedding_sanity"][1])
+        .df()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert want.sane.tolist() == got.sane.tolist()
+    for v in (0, 2, 3):
+        assert want.loc[v, "norm"] == got.loc[v, "norm"]
+    assert (
+        bool(want.loc[1, "has_nan"]) == bool(got.loc[1, "has_nan"])
     )
