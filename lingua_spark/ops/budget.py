@@ -147,7 +147,11 @@ def token_budget_select(
         )
         out = out.unionByName(boundary)
     if not release_cache:
-        return out
+        from .queries import _attach_release
+
+        return _attach_release(
+            out, lambda: scored.unpersist(blocking=False)
+        )
     try:
         return out.localCheckpoint(eager=True)
     finally:

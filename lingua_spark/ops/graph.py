@@ -110,6 +110,8 @@ def connected_components(
     prev_ckpt_dir = None
     restore_dir = None
     if checkpoint_dir is not None:
+        import uuid
+
         sc = spark.sparkContext
         # save the context's previous checkpoint dir so this call does
         # not hijack the global setting for the rest of the session
@@ -117,7 +119,15 @@ def connected_components(
         prev_opt = sc._jsc.sc().getCheckpointDir()
         restore_dir = getattr(sc._jsc.sc(), "checkpointDir_$eq")
         prev_ckpt_dir = prev_opt
-        sc.setCheckpointDir(checkpoint_dir)
+        # per-CALL unique subdirectory: two concurrent
+        # connected_components calls sharing the context dir would see
+        # each other's rdd-* directories in the GC's before/after diff
+        # and delete a sibling's still-live label table. Residual
+        # caveat (inherent to Spark's context-global checkpoint dir): a
+        # CONCURRENT caller-side df.checkpoint() during this call lands
+        # in this call's subdir and may be GC'd — reliable-checkpoint
+        # users of the same context must not checkpoint concurrently.
+        sc.setCheckpointDir(f"{checkpoint_dir}/cc-{uuid.uuid4().hex}")
         gc = _ReliableCkptGC(spark)
 
     def ckpt(df: DataFrame) -> DataFrame:

@@ -165,7 +165,11 @@ def dedup_incremental_bloom(
         "doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of"
     )
     if not release_cache:
-        return out
+        from .queries import _attach_release
+
+        return _attach_release(
+            out, lambda: incoming.unpersist(blocking=False)
+        )
     try:
         return out.localCheckpoint(eager=True)
     finally:

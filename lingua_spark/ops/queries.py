@@ -416,6 +416,17 @@ FROM a LEFT JOIN streak s ON a.conv_id = s.conv_id
 """
 
 
+def _attach_release(out, release):
+    """Attach ``out.lingua_release()`` to a LAZY (release_cache=False)
+    result: the persisted intermediates backing the plan are function-
+    local, so without a surfaced handle the documented "caller owns the
+    release" contract is unfulfillable short of a session-wide
+    clearCache. Call it once the lazy plan's last consumer has
+    materialized."""
+    out.lingua_release = release
+    return out
+
+
 def jaccard_pairs_df(
     spark: SparkSession, sf_dir: str, release_cache: bool = True
 ) -> DataFrame:
@@ -501,7 +512,7 @@ def jaccard_pairs_df(
         )
     )
     if not release_cache:
-        return out
+        return _attach_release(out, lambda: sh.unpersist(blocking=False))
     try:
         return out.localCheckpoint(eager=True)
     finally:
@@ -582,7 +593,7 @@ def fingerprint_pairs_df(
         )
     )
     if not release_cache:
-        return out
+        return _attach_release(out, lambda: fp.unpersist(blocking=False))
     try:
         return out.localCheckpoint(eager=True)
     finally:
@@ -982,7 +993,13 @@ def model_train_df(
         counts.unpersist(blocking=False)  # then a no-op safety net
     # release_cache=False: the view stays registered (unique name, no
     # clobber risk) because dropping it would uncache the counts the
-    # caller's lazy plan still needs — the caller owns both releases
+    # caller's lazy plan still needs — out.lingua_release() drops both
+    if not release_cache:
+        def _release():
+            spark.catalog.dropTempView(view)
+            counts.unpersist(blocking=False)
+
+        return _attach_release(out, _release)
     return out
 SQL_QUERIES["langid_stopwords"] = (
     _stopword_langid("spark"),
@@ -2176,24 +2193,39 @@ def _decontaminate_minhash(
     "near-duplicate of an eval doc" here is exactly "near-duplicate"
     everywhere else in the engine.
 
-    Scale shape: NO pair explosion — the eval side collapses to its
-    DISTINCT (band, band-key) set (tiny: the benchmark corpus), and the
-    training side semi-joins against it on the 16-byte band key;
-    Spark broadcasts the eval side. Each doc contributes 4 band rows,
-    so the per-doc match count needs no DISTINCT."""
+    The {min_bands}-band threshold is applied PER EVAL DOC (group by
+    (train doc, eval doc) before the HAVING): pooling collisions across
+    the whole eval set would flag a training doc that shares band 1
+    with eval item A and band 2 with unrelated eval item B — not a
+    near-duplicate of anything — silently over-removing clean training
+    text on templated eval sets whose items resemble each other.
+
+    Scale shape: NO pair explosion — the eval side is its (eval doc,
+    band, band-key) rows (tiny: the benchmark corpus; one row per doc
+    and band, already distinct), and the training side semi-joins
+    against it on the 16-byte band key; Spark broadcasts the eval side.
+    The (train, eval) collision groups are bounded by actual band
+    collisions, not |train| x |eval|."""
     bands = _minhash_bands(dialect)
     return f"""{bands},
 ev AS (
-  SELECT DISTINCT band, bkey FROM bands WHERE doc_id % {eval_mod} = 0
+  SELECT doc_id AS ev_id, band, bkey FROM bands
+  WHERE doc_id % {eval_mod} = 0
 ),
 tr AS (
   SELECT doc_id, band, bkey FROM bands WHERE doc_id % {eval_mod} <> 0
+),
+hits AS (
+  SELECT tr.doc_id, ev.ev_id, count(*) AS nb
+  FROM tr JOIN ev ON tr.band = ev.band AND tr.bkey = ev.bkey
+  GROUP BY tr.doc_id, ev.ev_id
+  HAVING count(*) >= {min_bands}
 )
-SELECT tr.doc_id,
-       CAST(count(*) AS BIGINT) AS n_shared_bands
-FROM tr JOIN ev ON tr.band = ev.band AND tr.bkey = ev.bkey
-GROUP BY tr.doc_id
-HAVING count(*) >= {min_bands}
+SELECT doc_id,
+       CAST(max(nb) AS BIGINT) AS n_shared_bands,
+       CAST(count(*) AS BIGINT) AS n_eval_matches
+FROM hits
+GROUP BY doc_id
 """
 
 

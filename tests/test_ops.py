@@ -2232,7 +2232,7 @@ def test_model_train_df_one_scan_twin(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
     got_lazy = lazy.toPandas().sort_values(key).reset_index(drop=True)
     assert got_lazy.equals(sql_form)
-    spark.catalog.clearCache()
+    lazy.lingua_release()  # drops the per-call view AND the counts cache
 
     got = (
         model_train_df(spark, sfd)
@@ -2677,7 +2677,10 @@ def test_conv_select_final_quality_gate_exempts_tool_turns(spark):
     def role_of(doc_id: int) -> str:
         if hashlib.md5(f"role:{doc_id}".encode()).hexdigest()[:2] < "14":
             return "tool"
-        return "user" if (doc_id // 150) % 2 == 0 else "assistant"
+        # role_block=50 (the shared turns CTE default) — NOT the 150 of
+        # the merge-runs mapping; only tool vs non-tool matters to the
+        # quality gate today, but the reference computation must match
+        return "user" if (doc_id // 50) % 2 == 0 else "assistant"
 
     import pandas as pd
 
@@ -2890,6 +2893,7 @@ def test_decontaminate_minhash_catches_paraphrase(spark):
     got = spark.sql(SQL_QUERIES["decontaminate_minhash"][0]).toPandas()
     assert set(got.doc_id) == {5}
     assert int(got.n_shared_bands.iloc[0]) >= 2
+    assert int(got.n_eval_matches.iloc[0]) == 1  # exactly eval doc 0
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     for i, t in rows:
@@ -2978,3 +2982,52 @@ def test_embedding_sanity_flags_corrupt_vectors(spark):
     assert (
         bool(want.loc[1, "has_nan"]) == bool(got.loc[1, "has_nan"])
     )
+
+
+def test_lazy_paths_surface_a_release_handle(spark):
+    """release_cache=False results carry lingua_release(): the persisted
+    intermediates are function-local, so without the handle the 'caller
+    owns the release' contract was unfulfillable short of a session-wide
+    clearCache. Calling it drops the caches (and model_train_df's
+    per-call temp view)."""
+    from lingua_spark.ops.budget import token_budget_select
+    from lingua_spark.ops.incremental import dedup_incremental_bloom
+    from lingua_spark.ops.queries import jaccard_pairs_df, model_train_df
+
+    sfd = "/root/testdata/sf0.001"
+    jsc = spark.sparkContext._jsc
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    lazies = [
+        jaccard_pairs_df(spark, sfd, release_cache=False),
+        token_budget_select(spark, sfd, release_cache=False),
+        dedup_incremental_bloom(spark, sfd, release_cache=False),
+        model_train_df(spark, sfd, release_cache=False),
+    ]
+    views_with_counts = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__model_train_counts_")
+    ]
+    # exactly one NEW per-call view from THIS model_train_df call (other
+    # tests in the session may have left their own — only count ours by
+    # requiring the set to shrink back after release below)
+    assert len(views_with_counts) >= 1
+    n_views_before_release = len(views_with_counts)
+    for df in lazies:
+        df.count()  # full consumption registers every persisted subtree
+    # releasing drops EXACTLY the four caches these calls created
+    # (persist registers the RDD on first execution, so measure the
+    # delta around the release, not against the session base)
+    before_release = n_cached()
+    for df in lazies:
+        df.lingua_release()
+    assert n_cached() == before_release - 4
+    assert n_cached() <= base + 1  # nothing of ours leaks (base may
+    #   hold an unrelated localCheckpoint block from earlier tests)
+    assert len([
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__model_train_counts_")
+    ]) == n_views_before_release - 1
