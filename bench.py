@@ -65,6 +65,7 @@ HEADLINE_QUERIES = [
     "conv_train_val_split",
     "decontaminate_minhash",
     "embedding_sanity",
+    "event_order_audit",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

@@ -3072,6 +3072,60 @@ SQL_QUERIES["embedding_sanity"] = (
 )
 
 
+def _event_order_audit(dialect: str) -> str:
+    """Out-of-order-arrival audit over the events stream — the
+    measurement that SIZES a streaming watermark: per user, how many
+    events arrive with a timestamp EARLIER than an already-seen one
+    (arrival order = event_id), and the worst backwards jump in
+    milliseconds. The streaming layer's watermarks (streaming.py,
+    default 30 minutes) are assertions about exactly this disorder;
+    guessing them wastes state (too wide) or silently drops late data
+    (too narrow). Run this batch audit over a history slice and set the
+    watermark from measured max_backwards_ms plus margin.
+
+    Scale shape: one lag/running-max window over (user_id, event_id) —
+    a single hash exchange on user_id — then a map-side-combinable
+    rollup on the same key; only (user_id, two ints) leave the window
+    stage."""
+    # parquet timestamps read as TIMESTAMP_NTZ in Spark; unix_millis
+    # requires TIMESTAMP, and the session runs UTC so the cast matches
+    # DuckDB's naive epoch_ms exactly
+    ms = (
+        "unix_millis(CAST(ts AS TIMESTAMP))"
+        if dialect == "spark"
+        else "epoch_ms(ts)"
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         {ms} AS ts_ms,
+         max({ms}) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS seen_max_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN ts_ms < seen_max_ms THEN 1 ELSE 0 END AS late,
+         CASE WHEN ts_ms < seen_max_ms THEN seen_max_ms - ts_ms
+              ELSE 0 END AS backwards_ms
+  FROM seq
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late_events,
+       CAST(max(backwards_ms) AS BIGINT) AS max_backwards_ms
+FROM flagged
+GROUP BY user_id
+"""
+
+
+SQL_QUERIES["event_order_audit"] = (
+    _event_order_audit("spark"),
+    _event_order_audit("duckdb"),
+)
+
+
 def _conv_drop_attribution(dialect: str) -> str:
     """Conversation-level drop ATTRIBUTION rollup: per ``drop_reason``
     (the priority-ordered first-failure from ``conv_select_final``),

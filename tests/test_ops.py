@@ -1934,6 +1934,7 @@ def test_all_document_queries_degenerate_corpus_parity(spark):
     needs_other_tables = {
         "k2_argmax_window", "a6_lang_agg", "sim_cosine_topk",
         "w1_sessionize", "session_window_batch", "embedding_sanity",
+        "event_order_audit",
     }
     checked = 0
     for name, (ssql, dsql) in SQL_QUERIES.items():
@@ -3031,3 +3032,55 @@ def test_lazy_paths_surface_a_release_handle(spark):
         t.name for t in spark.catalog.listTables()
         if t.name.startswith("__model_train_counts_")
     ]) == n_views_before_release - 1
+
+
+def test_event_order_audit_measures_disorder(spark):
+    """The out-of-order audit counts exactly the events whose timestamp
+    precedes an already-seen one (arrival order = event_id) and reports
+    the worst backwards jump — the number that sizes a streaming
+    watermark. Hand stream with known disorder; DuckDB twin agrees."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: one late event (id 2 arrives 40s behind the running max)
+        (0, ts(0), 1), (1, ts(60), 1), (2, ts(20), 1), (3, ts(90), 1),
+        # user 2: strictly ordered
+        (4, ts(0), 2), (5, ts(10), 2),
+        # user 3: two late events, worst jump 120s
+        (6, ts(200), 3), (7, ts(80), 3), (8, ts(210), 3), (9, ts(205), 3),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = (
+        spark.sql(SQL_QUERIES["event_order_audit"][0])
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.loc[1].tolist() == [4, 1, 40_000]
+    assert got.loc[2].tolist() == [2, 0, 0]
+    assert got.loc[3].tolist() == [4, 2, 120_000]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)"
+    )
+    for eid, t, u in rows:
+        con.execute("INSERT INTO events VALUES (?, ?, ?)", [eid, t, u])
+    want = (
+        con.sql(SQL_QUERIES["event_order_audit"][1])
+        .df()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert want.astype("int64").equals(got.astype("int64"))
+    register_views(spark, "/root/testdata/sf0.001")  # restore real views
