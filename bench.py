@@ -66,6 +66,7 @@ HEADLINE_QUERIES = [
     "decontaminate_minhash",
     "embedding_sanity",
     "event_order_audit",
+    "conv_lang_consistency",
 ]
 # DataFrame-function queries added round 4 (VERDICT r03 item 6): the
 # clustering layer (union-find dedup, persisted-shingle jaccard, final

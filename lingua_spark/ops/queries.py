@@ -3126,6 +3126,79 @@ SQL_QUERIES["event_order_audit"] = (
 )
 
 
+def _conv_lang_consistency(dialect: str) -> str:
+    """Per-conversation LANGUAGE-consistency audit over the transcript
+    mapping: distinct voted languages, the majority language and its
+    share of lang-voted turns. A conversation that flips language
+    mid-stream is, in curation practice, usually a stitching/upload bug
+    (two logs concatenated under one conv_id) rather than genuine
+    code-switching — this surfaces them for review without re-running
+    the expensive detector (the vote reuses ``langid_stopwords``'s
+    broadcast stopword table per TURN; turns with no stopword hit
+    abstain rather than vote).
+
+    Scale shape: token explode -> broadcast stopword join -> two
+    conv_id-keyed aggregations and one tiny window over (conv, lang)
+    vote rows — the turn-level exchange is on conv_id only; abstaining
+    turns never leave the scan."""
+    vals = ", ".join(f"('{w}', '{lg}')" for w, lg in _STOPWORDS)
+    tok = _tokens(dialect)
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        stop = f"SELECT * FROM VALUES {vals} AS stop(w, slang)"
+        toks = (
+            f"SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS conv_id,"
+            f" CAST(floor(doc_id / 50.0) AS INT) AS turn_idx,"
+            f" explode({tok}) AS w FROM documents"
+        )
+    else:
+        stop = f"SELECT * FROM (VALUES {vals}) AS stop(w, slang)"
+        toks = (
+            f"SELECT concat('conv-', CAST(doc_id % 50 AS {cast})) AS conv_id,"
+            f" CAST(floor(doc_id / 50.0) AS INT) AS turn_idx,"
+            f" unnest({tok}) AS w FROM documents"
+        )
+    return f"""
+WITH stop AS ({stop}),
+tok AS ({toks}),
+turn_votes AS (
+  -- one vote per (turn, lang): a turn's majority stopword language,
+  -- ties broken by lang asc; turns with no stopword hit are absent
+  SELECT conv_id, turn_idx, slang FROM (
+    SELECT tok.conv_id, tok.turn_idx, stop.slang,
+           row_number() OVER (PARTITION BY tok.conv_id, tok.turn_idx
+                              ORDER BY count(*) DESC, stop.slang) AS rn
+    FROM tok JOIN stop ON tok.w = stop.w
+    GROUP BY tok.conv_id, tok.turn_idx, stop.slang
+  ) v WHERE rn = 1
+),
+conv_votes AS (
+  SELECT conv_id, slang, count(*) AS c
+  FROM turn_votes GROUP BY conv_id, slang
+),
+ranked AS (
+  SELECT conv_id, slang, c,
+         sum(c) OVER (PARTITION BY conv_id) AS voted_turns,
+         count(*) OVER (PARTITION BY conv_id) AS n_langs,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY c DESC, slang) AS rn
+  FROM conv_votes
+)
+SELECT conv_id,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       slang AS majority_lang,
+       CAST(voted_turns AS BIGINT) AS voted_turns,
+       round(CAST(c AS DOUBLE) / voted_turns, 4) AS majority_share
+FROM ranked WHERE rn = 1
+"""
+
+
+SQL_QUERIES["conv_lang_consistency"] = (
+    _conv_lang_consistency("spark"),
+    _conv_lang_consistency("duckdb"),
+)
+
+
 def _conv_drop_attribution(dialect: str) -> str:
     """Conversation-level drop ATTRIBUTION rollup: per ``drop_reason``
     (the priority-ordered first-failure from ``conv_select_final``),

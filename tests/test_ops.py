@@ -3084,3 +3084,45 @@ def test_event_order_audit_measures_disorder(spark):
     )
     assert want.astype("int64").equals(got.astype("int64"))
     register_views(spark, "/root/testdata/sf0.001")  # restore real views
+
+
+def test_conv_lang_consistency_hand_corpus(spark):
+    """Language-consistency audit: a stitched bilingual conversation
+    reports 2 languages with the right majority share, a monolingual one
+    reports 1 at share 1.0, stopword-free turns abstain; DuckDB twin
+    agrees row-for-row."""
+    import duckdb
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    en = "the cat and the dog of the house"
+    de = "und der hund ist die katze das"
+    junk = "xyzzy plugh frobnicate"  # no stopword hit -> abstains
+    rows = [
+        # conv-0: 3 en turns + 1 de turn (stitched) -> majority en 0.75
+        (0, en), (50, en), (100, de), (150, en),
+        # conv-1: monolingual de + one abstaining turn
+        (1, de), (51, de), (101, junk),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["conv_lang_consistency"][0])
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert got.loc["conv-0"].tolist() == [2, "en", 4, 0.75]
+    assert got.loc["conv-1"].tolist() == [1, "de", 2, 1.0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = (
+        con.sql(SQL_QUERIES["conv_lang_consistency"][1])
+        .df()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert want.equals(got.astype(want.dtypes.to_dict()))
