@@ -39,7 +39,7 @@ HEADLINE_QUERIES = [
     "quality_keep_sql",
     # round-4 additions (outside _R03_SET, so the comparable total holds)
     "tfidf_top_terms",
-    "dedup_fingerprint_pairs",
+    "dedup_fingerprint_pairs_sql",
     "gopher_quality",
     "decontaminate_ngram",
     "conv_dedup_exact",
@@ -79,7 +79,7 @@ DF_QUERIES = [
     "corpus_select_final",
     "conv_stats_salted",
     "dedup_semantic",
-    "dedup_fingerprint_pairs_df",
+    "dedup_fingerprint_pairs",
     "corpus_token_budget",
     "dedup_incremental",
     "model_train_df",
