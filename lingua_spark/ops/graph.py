@@ -93,6 +93,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edge list -> (doc, rep): every node mapped to
     the minimum node id of its connected component.
@@ -103,7 +104,11 @@ def connected_components(
     diameters up to ~2^25). ``checkpoint_dir``: when set, per-round label
     tables are reliably checkpointed there (executor-loss-safe; see
     module docstring for the retention/restore contract); when None,
-    ``localCheckpoint`` is used.
+    ``localCheckpoint`` is used. ``stats``: optional dict the call fills
+    with convergence diagnostics — ``rounds`` (E-sized join rounds run,
+    including the final all-stable confirmation round) and ``changed``
+    (per-round count of relabeled nodes) — so tests and 100 TB operators
+    can pin the O(log diameter) compression instead of inferring it.
     """
     spark = edges.sparkSession
     gc = None
@@ -222,6 +227,9 @@ def connected_components(
             changed = new.filter(F.col("rep") != F.col("old_rep")).count()
             mid.unpersist()
             labels = new.select("doc", "rep")
+            if stats is not None:
+                stats.setdefault("changed", []).append(changed)
+                stats["rounds"] = len(stats["changed"])
             if changed == 0:
                 return labels
     finally:

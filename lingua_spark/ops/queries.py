@@ -2757,10 +2757,13 @@ def _conv_select_final(
     them, and everything after the rollup is conversation-LEVEL (50
     rows per 10^6 turns here; ~1000x reduction in general) — the
     dedup-representative window over the 16-byte canonical md5 and the
-    final gate stitch shuffle tiny aggregate rows, never turns. The
-    only second look at the input is the alternation branch, which
-    prunes to a single column (same two-branch shape as
-    ``conv_role_structure``).
+    final gate stitch shuffle tiny aggregate rows, never turns. To be
+    precise (round-4 verdict): "one pass" means one TEXT-bearing pass —
+    the physical plan scans documents.parquet twice, but the second
+    scan (the alternation branch, same two-branch shape as
+    ``conv_role_structure``) is column-pruned to the narrow
+    role/ordering columns and never reads the text bytes, which at
+    100 TB are ~all the I/O.
 
     Drop-reason priority (structure > tool > loop > pii > quality >
     duplicate) mirrors pipeline order: structural rejects never reach

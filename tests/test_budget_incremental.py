@@ -59,6 +59,63 @@ def test_token_budget_zero_budget_selects_nothing(spark):
     assert token_budget_select(spark, SF, budget_frac=0.0).count() == 0
 
 
+def test_token_budget_degenerate_score_no_single_partition_window(
+    spark, tmp_path
+):
+    """VERDICT r04 item 6: every document shares ONE score (all-distinct
+    tokens -> score == SCORE_SCALE exactly), so the boundary bucket IS
+    the corpus — the adversarial case where the old
+    ``Window.partitionBy("score")`` ran the whole input through one
+    reducer. The range-partitioned two-phase prefix sum must (a) still
+    select exactly the local greedy prefix and (b) window over the
+    doc_id sub-buckets (plan partitions by pid, never by the constant
+    score)."""
+    import pandas as pd
+
+    from lingua_spark.ops.budget import token_budget_select
+    from lingua_spark.ops.queries import TABLES
+
+    # synthetic sf dir: real sf0.001 tables, documents replaced by 400
+    # docs of i+1 all-distinct tokens each (identical diversity ratio)
+    for t in TABLES:
+        if t != "documents":
+            (tmp_path / f"{t}.parquet").symlink_to(SF + f"/{t}.parquet")
+    texts = [
+        " ".join(f"tok{i:04d}x{j}" for j in range(i + 1))
+        for i in range(400)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(400), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * 400,
+            "source": ["synthetic"] * 400,
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    lazy = token_budget_select(
+        spark, str(tmp_path), budget_frac=0.4, release_cache=False
+    )
+    got = lazy.toPandas()
+    # one score bucket for the whole corpus
+    assert set(got["score"]) == {10_000}
+    # exact greedy prefix: doc_id ascending within the single score
+    sizes = pd.Series({i: i + 1 for i in range(400)}).sort_index()
+    budget = int(sizes.sum() * 0.4)
+    want = set(sizes.index[sizes.cumsum() <= budget])
+    assert set(got["doc_id"]) == want
+    # plan gate: the only windows partition by the doc_id-range pid —
+    # no window may partition by the (constant) score column
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "pid" in spec and "score" not in spec.split(",")[0], spec
+
+
 def test_incremental_bloom_matches_plain_join(spark):
     """End-to-end (doc_id, is_dup, dup_of) equals the plain min-match
     left join computed locally on the same cleaned text."""

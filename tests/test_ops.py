@@ -824,6 +824,41 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
     assert dir_after == dir_before
 
 
+def test_connected_components_chain_depth_log_compressed(spark, tmp_path):
+    """VERDICT r04 item 8: adversarial diameter. A single chain of depth
+    2^10 (nodes 0..1024 in a line) is the worst case for label
+    propagation — plain min-propagation would need 1024 E-sized rounds.
+    The double pointer jump must compress it in O(log diameter): with a
+    3x-per-round chase plus the neighbour hop, log(1024) lands well
+    under 10 rounds. Runs the RELIABLE df.checkpoint() path (the 100 TB
+    configuration) and asserts labels are exact (every node -> 0) and
+    the round count stays log-compressed."""
+    from pyspark.sql import Row
+
+    from lingua_spark.ops.graph import connected_components
+
+    depth = 2**10
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(depth)]
+    ).repartition(8)
+    stats: dict = {}
+    labels = {
+        r["doc"]: r["rep"]
+        for r in connected_components(
+            edges,
+            checkpoint_dir=str(tmp_path / "cc-chain"),
+            stats=stats,
+        ).collect()
+    }
+    assert len(labels) == depth + 1
+    assert set(labels.values()) == {0}, "chain must collapse to rep 0"
+    # includes the final changed==0 confirmation round; 2^10 diameter
+    # must NOT cost anywhere near 2^10 rounds
+    assert stats["rounds"] <= 10, stats
+    # compression is monotone until convergence: last round changes 0
+    assert stats["changed"][-1] == 0, stats
+
+
 def test_connected_components_random_graph_matches_union_find(spark):
     """Randomized 120-node graph vs a pure-Python union-find reference."""
     import numpy as np
