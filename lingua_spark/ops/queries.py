@@ -2349,6 +2349,7 @@ FIXTURE_ORACLE_QUERIES = (
     "quality_pipeline_summary",
     "quality_flag_counts",
     "multilang_sections",
+    "multimodal_features",
 )
 
 # The fixtures are frozen at ONE scale (the driver's correctness gate

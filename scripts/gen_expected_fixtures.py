@@ -228,6 +228,41 @@ def gen_multilang(docs: pd.DataFrame) -> pd.DataFrame:
     ).astype({"doc_id": "int64", "n_sections": "int32"})
 
 
+def gen_multimodal() -> pd.DataFrame:
+    """Single-process twin of ops.multimodal.multimodal_features_summary
+    (VERDICT r04 item 4): the same pure per-row functions (feature_row,
+    frame_rows) over the same deterministic synthetic media — the Spark
+    gate then checks the distribution layer (mapInPandas, Arrow binary
+    batching, expand-join, per-row corruption fallback); the decode
+    arithmetic itself is value-asserted by the decoder unit tests."""
+    import zlib
+
+    from lingua_spark.ops.multimodal import (
+        feature_row,
+        frame_rows,
+        synth_media_mixed,
+    )
+
+    rows = []
+    for mid, kind, payload, mime, _w, _h, dur in synth_media_mixed():
+        feats, ok, sha = feature_row(bytes(payload), mime)
+        frs = frame_rows(mid, kind, bytes(payload), dur, 4)
+        crc = sum(zlib.crc32(f[3]) for f in frs)
+        rows.append(
+            (mid, kind, ok, sha, *[float(x) for x in feats[:4]],
+             len(frs), crc)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "kind", "decode_ok", "payload_sha",
+            "f0", "f1", "f2", "f3", "n_frames", "frames_crc",
+        ],
+    ).astype(
+        {"media_id": "int32", "n_frames": "int64", "frames_crc": "int64"}
+    )
+
+
 def main() -> None:
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     docs = pd.read_parquet(SF_DIR / "documents.parquet")
@@ -245,6 +280,7 @@ def main() -> None:
         "quality_flag_counts": lambda: gen_quality_flag_counts(docs),
         "detect_confusion": lambda: gen_detect_confusion(docs),
         "multilang_sections": lambda: gen_multilang(docs),
+        "multimodal_features": gen_multimodal,
     }
     only = set(sys.argv[3:]) if len(sys.argv) > 3 else None
     for name, fn in targets.items():
