@@ -3076,13 +3076,16 @@ def test_lazy_paths_surface_a_release_handle(spark):
     n_views_before_release = len(views_with_counts)
     for df in lazies:
         df.count()  # full consumption registers every persisted subtree
-    # releasing drops EXACTLY the four caches these calls created
-    # (persist registers the RDD on first execution, so measure the
-    # delta around the release, not against the session base)
+    # releasing drops EXACTLY the five caches these calls created —
+    # token_budget_select holds TWO (the tokenizing scan AND the
+    # range-partitioned boundary bucket whose pids must stay frozen
+    # between the offset collect and the window read-back; round 5).
+    # persist registers the RDD on first execution, so measure the
+    # delta around the release, not against the session base.
     before_release = n_cached()
     for df in lazies:
         df.lingua_release()
-    assert n_cached() == before_release - 4
+    assert n_cached() == before_release - 5
     assert n_cached() <= base + 1  # nothing of ours leaks (base may
     #   hold an unrelated localCheckpoint block from earlier tests)
     assert len([
