@@ -64,17 +64,20 @@ _SQL_GRADED_FIRST = [
     "dedup_substring_spans",
     "dedup_substring_trim",
     "sim_cosine_topk",
-    # decontamination + selection/export
+    # decontamination + selection + scrub (the north-rule core)
     "decontaminate_ngram",
     "decontaminate_minhash",
     "conv_select_final",
     "conv_minhash_pairs",
-    "transcript_export_final",
-    # quality gates + scrub + sessionization
+    "pii_scrub_sql",
     "quality_keep_sql",
     "gopher_quality",
+    # past this point entries fall outside the 50-slot grading prefix
+    # as block 1 grows; each has an already-graded twin or r04 green row
+    # (transcript_export_full and the streaming twins are in block 1 /
+    # pytest-pinned)
     "ccnet_quality_buckets",
-    "pii_scrub_sql",
+    "transcript_export_final",
     "w1_sessionize",
     "session_window_batch",
 ]
@@ -122,6 +125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token-budget prefix selection: two-phase histogram threshold in
     # Spark, graded against the naive global-window oracle
     out["corpus_token_budget"] = token_budget_select
+    # per-source water-filling budget (the source-mixing primitive:
+    # every over-represented source capped at the same integer level);
+    # oracle is the closed-form water-fill + per-source global window
+    from lingua_spark.ops.budget import budget_by_source
+
+    out["corpus_budget_by_source"] = budget_by_source
     # incoming-batch vs standing-corpus exact dedup behind a broadcast
     # Bloom prefilter; the exact-confirm join makes the output oracle-exact
     out["dedup_incremental"] = dedup_incremental_bloom
@@ -218,9 +227,13 @@ def oracle_sql() -> dict[str, str]:
     from lingua_spark.ops.queries import conv_stats_oracle_sql
 
     out["conv_stats_salted"] = conv_stats_oracle_sql()
-    from lingua_spark.ops.budget import token_budget_oracle_sql
+    from lingua_spark.ops.budget import (
+        budget_by_source_oracle_sql,
+        token_budget_oracle_sql,
+    )
 
     out["corpus_token_budget"] = token_budget_oracle_sql()
+    out["corpus_budget_by_source"] = budget_by_source_oracle_sql()
     from lingua_spark.ops.incremental import incremental_oracle_sql
 
     out["dedup_incremental"] = incremental_oracle_sql()

@@ -81,6 +81,7 @@ DF_QUERIES = [
     "dedup_semantic",
     "dedup_fingerprint_pairs",
     "corpus_token_budget",
+    "corpus_budget_by_source",
     "dedup_incremental",
     "model_train_df",
     "conv_minhash_cc",

@@ -59,6 +59,112 @@ def test_token_budget_zero_budget_selects_nothing(spark):
     assert token_budget_select(spark, SF, budget_frac=0.0).count() == 0
 
 
+def test_water_fill_matches_brute_force_definition():
+    """water_fill (the sequential integer loop the Spark driver runs)
+    must equal the DECLARATIVE definition the DuckDB oracle encodes:
+    L = max integer with sum(min(total_s, L)) <= B, saturated sources
+    take their total, the first `extra` unsaturated sources in
+    (total ASC, source ASC) order get one extra token. Hypothesis fuzz
+    over adversarial totals (zeros, duplicates, hot sources)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lingua_spark.ops.budget import water_fill
+
+    def brute(totals: dict[str, int], budget: int) -> dict[str, int]:
+        budget = min(budget, sum(totals.values()))
+        lo = 0
+        hi = max(totals.values(), default=0)
+        while lo < hi:  # max L with sum(min(t, L)) <= budget
+            mid = (lo + hi + 1) // 2
+            if sum(min(t, mid) for t in totals.values()) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        level = lo
+        alloc = {s: min(t, level) for s, t in totals.items()}
+        extra = budget - sum(alloc.values())
+        for s, t in sorted(totals.items(), key=lambda kv: (kv[1], kv[0])):
+            if extra == 0:
+                break
+            if t > level:
+                alloc[s] += 1
+                extra -= 1
+        assert extra == 0
+        return alloc
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        totals=st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=8,
+        ),
+        budget=st.integers(min_value=0, max_value=60_000),
+    )
+    def check(totals, budget):
+        got = water_fill(totals, budget)
+        assert got == brute(totals, budget)
+        assert sum(got.values()) == min(budget, sum(totals.values()))
+
+    check()
+
+
+def test_budget_by_source_skewed_matches_local_greedy(spark, tmp_path):
+    """End-to-end on a SKEWED synthetic corpus (one hot source with 10x
+    the tokens of the rest): water-filling must cap the hot source at
+    the common level while small sources keep everything, and the
+    per-source selection must equal the local full-sort greedy under
+    each source's allocation. Also pins the plan: every window
+    partitions by (source, pid) — never a single-partition window."""
+    import pandas as pd
+
+    from lingua_spark.ops.budget import budget_by_source, water_fill
+    from lingua_spark.ops.queries import TABLES
+
+    for t in TABLES:
+        if t != "documents":
+            (tmp_path / f"{t}.parquet").symlink_to(SF + f"/{t}.parquet")
+    rows = []
+    did = 0
+    for s, n_docs, wlen in [("hot", 200, 40), ("mid", 40, 20), ("sml", 8, 10)]:
+        for i in range(n_docs):
+            # all-distinct tokens -> every doc scores SCORE_SCALE: the
+            # adversarial case where each source IS one boundary bucket
+            toks = [f"{s}{i:03d}w{j}" for j in range(wlen)]
+            rows.append((did, " ".join(toks), "en", s, len(" ".join(toks))))
+            did += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+
+    lazy = budget_by_source(
+        spark, str(tmp_path), budget_frac=0.5, release_cache=False
+    )
+    got = lazy.toPandas()
+    totals = {"hot": 200 * 40, "mid": 40 * 20, "sml": 8 * 10}
+    alloc = water_fill(totals, sum(totals.values()) // 2)
+    assert alloc["sml"] == 80, alloc  # small source fully kept
+    assert alloc["hot"] < totals["hot"], alloc  # hot source capped
+    # per-source doc_id-ascending prefix under the allocation
+    for s, grp in got.groupby("source"):
+        sizes = pd.Series(
+            {r[0]: len(r[1].split()) for r in rows if r[3] == s}
+        ).sort_index()
+        want = set(sizes.index[sizes.cumsum() <= alloc[s]])
+        assert set(grp["doc_id"]) == want, s
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "source" in spec and "pid" in spec, spec
+
+
 def test_token_budget_degenerate_score_no_single_partition_window(
     spark, tmp_path
 ):
