@@ -72,6 +72,9 @@ _SQL_GRADED_FIRST = [
     "pii_scrub_sql",
     "quality_keep_sql",
     "gopher_quality",
+    # trained quality classifier (round 5): the learned filter tier
+    "quality_nb_train",
+    "quality_nb_score",
     # past this point entries fall outside the 50-slot grading prefix
     # as block 1 grows; each has an already-graded twin or r04 green row
     # (transcript_export_full and the streaming twins are in block 1 /

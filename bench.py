@@ -37,6 +37,7 @@ HEADLINE_QUERIES = [
     "w1_sessionize",
     "textstats_tokens",
     "quality_keep_sql",
+    "quality_nb_score",
     # round-4 additions (outside _R03_SET, so the comparable total holds)
     "tfidf_top_terms",
     "dedup_fingerprint_pairs_sql",

@@ -1,0 +1,148 @@
+"""Trained quality classifier — the fastText-style learned filter tier.
+
+The heuristic gates (``quality_keep_sql``, Gopher, CCNet buckets) are
+rule-based; production curation stacks layer a TRAINED classifier on top,
+distilled from a cheap teacher (CCNet trains against Wikipedia, DCLM/
+fineweb-edu against model-labeled seeds — public recipes). This module is
+that tier as pure SQL, runnable identically in Spark and DuckDB:
+
+- ``quality_nb_train``: multinomial naive-Bayes log-odds table over
+  repetition-bucketed token features (see ``_feat``), teacher = the
+  heuristic keep gate AND a lexical-diversity cut. One corpus pass:
+  label in the scan projection, ONE token explode, map-side-combinable
+  per-feature class counts (the Zipf head is absorbed by partial
+  aggregation — no hot-token reducer), add-one smoothing against the
+  class totals + vocab size.
+- ``quality_nb_score``: per-document occurrence-weighted sum of feature
+  log-odds + verdict, compared against the teacher (the ``agree`` column
+  is the distillation fidelity measurement — 96% at sf0.01).
+
+Numeric discipline: log-odds are FIXED-POINT integers
+(``floor(logodds * 10^6)`` as BIGINT) so the per-document score is an
+EXACT integer sum — float summation order differs between Spark's
+partial-agg tree and DuckDB's single-threaded fold, and a float score
+column would hash-mismatch on ulp noise. The only float step is the
+per-distinct-token ``ln`` (vocab-sized, not corpus-sized); both engines
+evaluate it on identical integer-ratio inputs.
+
+Scale notes (100 TB): the model table is vocab-sized (multi-GB at web
+scale but executor-memory-sized) and is BROADCAST into the scoring join
+— the corpus-side token explode never shuffles on the token key (which
+is maximally skewed: stopwords), and the only corpus exchange is the
+final groupBy(doc_id). If vocab outgrows the broadcast budget, drop the
+hint and let AQE's skew-join splitting handle the hot tokens.
+"""
+
+from __future__ import annotations
+
+FP_SCALE = 1_000_000
+
+
+def _labeled(dialect: str) -> str:
+    """(doc_id, keep, t): teacher label + token array in one scan
+    projection. Teacher = the heuristic keep gate AND lexical diversity
+    >= 0.45 (~the corpus median — INTEGER-exact rational comparison, no
+    float division): the plain heuristic gate passes ~everything on the
+    synthetic corpus, and a one-class teacher trains a vacuous model;
+    the diversity cut gives the distillation a real decision boundary —
+    the same quality-proxy family CCNet/fineweb-edu teachers use."""
+    # imported lazily: queries.py registers this module's SQL at its own
+    # tail, so a module-level import here would be circular whenever
+    # classifier is imported first
+    from .queries import _KEEP_EXPR_DUCK, _KEEP_EXPR_SPARK, _tokens
+
+    keep = _KEEP_EXPR_SPARK if dialect == "spark" else _KEEP_EXPR_DUCK
+    toks = _tokens(dialect)
+    ln = "size" if dialect == "spark" else "len"
+    dedup = "array_distinct" if dialect == "spark" else "list_distinct"
+    div = (
+        f"{ln}({dedup}({toks})) * 10000"
+        f" >= 4500 * greatest({ln}({toks}), 1)"
+    )
+    return f"""
+  SELECT doc_id,
+         CAST(({keep}) AND {div} AS BOOLEAN) AS keep,
+         {toks} AS t
+  FROM documents
+"""
+
+
+def _feat(dialect: str) -> str:
+    """(doc_id, keep, f, c): repetition-bucketed multinomial features —
+    f = token '#' min(in-doc count, 3), c = the in-doc count. A plain
+    bag-of-words NB cannot learn the diversity boundary on a small
+    shared vocabulary (59% agreement measured); bucketing the per-doc
+    occurrence count into the feature identity lets a LINEAR model
+    represent repetition structure (96% agreement on the same teacher) —
+    the engineered-feature move of fastText-style filters (char n-grams
+    there, count buckets here). groupBy(doc_id, token) is map-side
+    combinable and skew-free by construction (doc_id spreads the hot
+    stopwords)."""
+    unnest = "explode" if dialect == "spark" else "unnest"
+    return f"""
+  SELECT doc_id, keep,
+         concat(token, '#', least(count(*), 3)) AS f,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, keep, {unnest}(t) AS token FROM labeled
+  ) occ
+  GROUP BY doc_id, keep, token
+"""
+
+
+def nb_train_sql(dialect: str) -> str:
+    """Per-feature (feature, n_keep, n_drop, logodds_fp) model table —
+    multinomial counts weighted by in-doc occurrences, add-one smoothed
+    against the class totals + vocabulary size."""
+    return f"""
+WITH labeled AS ({_labeled(dialect)}),
+feat AS ({_feat(dialect)}),
+counts AS (
+  SELECT f,
+         SUM(CASE WHEN keep THEN c ELSE 0 END) AS n_keep,
+         SUM(CASE WHEN keep THEN 0 ELSE c END) AS n_drop
+  FROM feat GROUP BY f
+),
+tot AS (
+  SELECT SUM(n_keep) AS k_tot, SUM(n_drop) AS d_tot, COUNT(*) AS v
+  FROM counts
+)
+SELECT f AS feature,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(n_drop AS BIGINT) AS n_drop,
+       CAST(floor((ln((n_keep + 1.0) / (k_tot + v))
+                   - ln((n_drop + 1.0) / (d_tot + v)))
+                  * {FP_SCALE}.0) AS BIGINT) AS logodds_fp
+FROM counts CROSS JOIN tot
+"""
+
+
+def nb_score_sql(dialect: str) -> str:
+    """Per-document NB score (exact integer sum of occurrence-weighted
+    feature log-odds), classifier verdict, teacher verdict, and the
+    agreement flag (distillation fidelity)."""
+    hint = "/*+ BROADCAST(m) */ " if dialect == "spark" else ""
+    train = nb_train_sql(dialect)
+    # the model is re-stated as a CTE: the oracle gate needs ONE
+    # self-contained string per dialect. Train-then-score is inherently
+    # two corpus passes; a production run would persist the (tiny)
+    # model table between them — inside this single query Catalyst
+    # evaluates the once-referenced CTE once.
+    return f"""
+WITH model AS ({train}),
+labeled AS ({_labeled(dialect)}),
+feat AS ({_feat(dialect)}),
+scored AS (
+  SELECT {hint}t.doc_id,
+         CAST(SUM(t.c * m.logodds_fp) AS BIGINT) AS score_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_features
+  FROM feat t JOIN model m ON t.f = m.feature
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_features, s.score_fp,
+       CAST(s.score_fp > 0 AS BOOLEAN) AS clf_keep,
+       l.keep AS teacher_keep,
+       CAST((s.score_fp > 0) = l.keep AS BOOLEAN) AS agree
+FROM scored s JOIN (SELECT doc_id, keep FROM labeled) l
+  ON s.doc_id = l.doc_id
+"""

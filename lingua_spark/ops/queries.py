@@ -3508,3 +3508,17 @@ def detect_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# trained quality classifier (round 5) — registered from its own module
+# at the tail so classifier.py can import _tokens/_KEEP_EXPR_* above
+from .classifier import nb_score_sql, nb_train_sql  # noqa: E402
+
+SQL_QUERIES["quality_nb_train"] = (
+    nb_train_sql("spark"),
+    nb_train_sql("duckdb"),
+)
+SQL_QUERIES["quality_nb_score"] = (
+    nb_score_sql("spark"),
+    nb_score_sql("duckdb"),
+)

@@ -59,6 +59,28 @@ def test_token_budget_zero_budget_selects_nothing(spark):
     assert token_budget_select(spark, SF, budget_frac=0.0).count() == 0
 
 
+def test_nb_classifier_learns_the_teacher(spark):
+    """Trained quality classifier (round 5): the teacher must be
+    two-class on the synthetic corpus (a one-class teacher trains a
+    vacuous model), the repetition-bucketed NB must reach >= 0.9
+    agreement with it (bag-of-words alone measured 0.59 — the feature
+    bucketing is load-bearing), and the scoring join must BROADCAST the
+    vocab-sized model so the corpus side never shuffles on the
+    maximally-skewed token key."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, SF)
+    df = spark.sql(SQL_QUERIES["quality_nb_score"][0])
+    pdf = df.toPandas()
+    keep_rate = pdf.teacher_keep.mean()
+    assert 0.2 < keep_rate < 0.8, f"degenerate teacher: {keep_rate}"
+    assert pdf.agree.mean() >= 0.9, pdf.agree.mean()
+    # exact integer scores: fixed-point sums can never be fractional
+    assert pdf.score_fp.dtype.kind == "i"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_water_fill_matches_brute_force_definition():
     """water_fill (the sequential integer loop the Spark driver runs)
     must equal the DECLARATIVE definition the DuckDB oracle encodes:
