@@ -56,6 +56,7 @@ _SQL_GRADED_FIRST = [
     # dedup family (the 100 TB workhorses)
     "dedup_exact",
     "dedup_exact_flags",
+    "turn_dedup_crossconv",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_hot_buckets",
     "dedup_simhash",

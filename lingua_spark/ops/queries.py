@@ -2003,6 +2003,55 @@ HAVING count(DISTINCT conv_id) >= {min_convs}
 """
 
 
+def _turn_dedup_crossconv(dialect: str, min_convs: int = 2) -> str:
+    """Cross-conversation duplicated-TURN scrub — the C4/RefinedWeb
+    line-level dedup (public recipes: C4 dedups repeated three-sentence
+    spans, RefinedWeb/CCNet drop lines duplicated across documents)
+    mapped onto transcripts, where the natural 'line' is a turn. A turn
+    whose normalized full text recurs in >= {min_convs} DISTINCT
+    conversations is template boilerplate (canned greetings, identical
+    tool preambles, copy-pasted system text) and is dropped from every
+    conversation it appears in; within-conversation repeats are the loop
+    detector's business and do NOT trip this gate. Unlike
+    ``turn_boilerplate`` (the detector: which openings recur), this is
+    the ACTIONABLE per-turn verdict over the whole transcript — the
+    keep/drop column a scrub writer consumes.
+
+    Scale shape: turns are keyed by md5 of the normalized token join in
+    the scan projection (16-byte key; full text never shuffles), the
+    per-key conversation frequency is ONE count(DISTINCT conv_id)
+    groupBy — Spark expands it to a two-phase partial/final plan, so a
+    greeting occurring in 10^9 conversations is combined map-side and
+    never concentrates raw turns on a reducer — and the verdict comes
+    back via ONE equi-join on the 16-byte key (hot duplicated keys are
+    exactly the rows AQE's skew-join splitting targets). Contentless
+    turns (NULL / tokenless text) are excluded from keying scan-side —
+    'nothing' recurring is not boilerplate, and the NULL-vs-empty
+    dialect divergence (`_prefix_key_safe` docstring) never reaches the
+    aggregate — and come back with n_convs_sharing = 0, keep = TRUE."""
+    toks = _tokens(dialect)
+    ln = "size" if dialect == "spark" else "len"
+    join = "array_join" if dialect == "spark" else "array_to_string"
+    return f"""
+WITH {_transcript_turns_cte(dialect)},
+keyed AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN greatest(coalesce({ln}({toks}), 0), 0) > 0
+              THEN md5({join}({toks}, ' ')) END AS k
+  FROM turns
+),
+freq AS (
+  SELECT k, count(DISTINCT conv_id) AS n_convs
+  FROM keyed WHERE k IS NOT NULL
+  GROUP BY k
+)
+SELECT t.conv_id, t.turn_idx,
+       CAST(coalesce(f.n_convs, 0) AS BIGINT) AS n_convs_sharing,
+       CAST(coalesce(f.n_convs, 0) < {min_convs} AS BOOLEAN) AS keep
+FROM keyed t LEFT JOIN freq f ON t.k = f.k
+"""
+
+
 def _conv_pii_quarantine(dialect: str, rate: float = 0.2) -> str:
     """Conversation-level PII propagation: a turn that trips the PII
     regexes (email/SSN/IP — the ``pii_scrub_sql`` pattern set) taints
@@ -2298,6 +2347,10 @@ SQL_QUERIES["conv_loop_detect"] = (
 SQL_QUERIES["turn_boilerplate"] = (
     _turn_boilerplate("spark"),
     _turn_boilerplate("duckdb"),
+)
+SQL_QUERIES["turn_dedup_crossconv"] = (
+    _turn_dedup_crossconv("spark"),
+    _turn_dedup_crossconv("duckdb"),
 )
 SQL_QUERIES["pack_sequences"] = (
     _pack_sequences("spark"),

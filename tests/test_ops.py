@@ -1498,6 +1498,69 @@ def test_turn_boilerplate_document_frequency_threshold(spark):
     ]
 
 
+def test_turn_dedup_crossconv_hand_corpus(spark):
+    """turn_dedup_crossconv: a turn recurring in two DISTINCT
+    conversations drops from both (normalization collapses case and
+    whitespace), the same text repeated only within ONE conversation is
+    kept (the loop detector's business), and contentless turns (empty /
+    NULL text) never key and always keep with share 0."""
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        (0, "hello how can i help"),        # conv-0
+        (1, "  Hello   HOW can i help "),   # conv-1: normalizes equal
+        (2, "same turn twice in one conv"),  # conv-2
+        (52, "same turn twice in one conv"),  # conv-2 again
+        (3, "a unique turn"),               # conv-3
+        (4, ""),                            # conv-4: contentless
+        (5, None),                          # conv-5: NULL text
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["turn_dedup_crossconv"][0])
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = [
+        ("conv-0", 0, 2, False),
+        ("conv-1", 0, 2, False),
+        ("conv-2", 0, 1, True),
+        ("conv-2", 1, 1, True),
+        ("conv-3", 0, 1, True),
+        ("conv-4", 0, 0, True),
+        ("conv-5", 0, 0, True),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_turn_dedup_crossconv_invariants_on_corpus(spark):
+    """turn_dedup_crossconv on the real table: one verdict per turn,
+    keep == (share < 2), and every share agrees with an independent
+    pandas recomputation of distinct-conversation frequency over the
+    same normalized key."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    r = spark.sql(SQL_QUERIES["turn_dedup_crossconv"][0]).toPandas()
+    docs = spark.table("documents").select("doc_id", "text").toPandas()
+    assert len(r) == len(docs)
+    assert (r.keep == (r.n_convs_sharing < 2)).all()
+
+    docs["conv_id"] = "conv-" + (docs.doc_id % 50).astype(str)
+    docs["k"] = docs.text.fillna("").str.lower().str.split().str.join(" ")
+    share = (
+        docs[docs.k != ""].groupby("k").conv_id.nunique().to_dict()
+    )
+    docs["want"] = docs.k.map(lambda k: share.get(k, 0))
+    docs["turn_idx"] = docs.doc_id // 50
+    merged = r.merge(docs, on=["conv_id", "turn_idx"])
+    assert len(merged) == len(r)
+    assert (merged.n_convs_sharing == merged.want).all()
+
+
 def test_conv_role_structure_invariants_on_corpus(spark):
     """conv_role_structure on the real table: one row per conversation,
     role counts partition the turn count, violations only occur in
