@@ -70,12 +70,14 @@ _SQL_GRADED_FIRST = [
     "decontaminate_minhash",
     "conv_select_final",
     "conv_minhash_pairs",
+    # trained quality classifier (round 5): the learned filter tier —
+    # never driver-graded before round 5, so it outranks the heuristic
+    # gates below (green driver rows in r01-r04) for prefix slots
+    "quality_nb_train",
+    "quality_nb_score",
     "pii_scrub_sql",
     "quality_keep_sql",
     "gopher_quality",
-    # trained quality classifier (round 5): the learned filter tier
-    "quality_nb_train",
-    "quality_nb_score",
     # past this point entries fall outside the 50-slot grading prefix
     # as block 1 grows; each has an already-graded twin or r04 green row
     # (transcript_export_full and the streaming twins are in block 1 /
@@ -135,6 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lingua_spark.ops.budget import budget_by_source
 
     out["corpus_budget_by_source"] = budget_by_source
+    # DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    # importance scores + Gumbel-top-k, distributed two-phase threshold
+    # in Spark, graded against the naive global-window oracle
+    from lingua_spark.ops.dsir import dsir_select
+
+    out["dsir_select"] = dsir_select
     # incoming-batch vs standing-corpus exact dedup behind a broadcast
     # Bloom prefilter; the exact-confirm join makes the output oracle-exact
     out["dedup_incremental"] = dedup_incremental_bloom
@@ -238,6 +246,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["corpus_token_budget"] = token_budget_oracle_sql()
     out["corpus_budget_by_source"] = budget_by_source_oracle_sql()
+    from lingua_spark.ops.dsir import dsir_oracle_sql
+
+    out["dsir_select"] = dsir_oracle_sql()
     from lingua_spark.ops.incremental import incremental_oracle_sql
 
     out["dedup_incremental"] = incremental_oracle_sql()

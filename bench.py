@@ -84,6 +84,7 @@ DF_QUERIES = [
     "dedup_fingerprint_pairs",
     "corpus_token_budget",
     "corpus_budget_by_source",
+    "dsir_select",
     "dedup_incremental",
     "model_train_df",
     "conv_minhash_cc",

@@ -1,0 +1,272 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023; public paper) over hashed n-gram features.
+
+The standard trained-selection recipe when you have a TARGET domain
+(here: the quality-teacher-passing subset — the same teacher the NB
+classifier distills, so the two learned tiers share a decision
+boundary) and a huge RAW corpus: fit bag-of-hashed-ngram unigram
+models of both, weight every raw document by its log importance ratio
+z = sum_b n_doc[b] * (ln p_target[b] - ln p_raw[b]), then resample k
+documents without replacement with probability ∝ exp(z) via the Gumbel
+top-k trick (key = z + Gumbel(0,1), keep the k largest keys).
+
+Numeric discipline (same as ``ops/classifier.py``): the per-bucket log
+ratio and the per-doc Gumbel noise are FIXED-POINT integers
+(floor(x * 10^6) as BIGINT), so the per-document importance score is an
+EXACT integer sum — float summation order differs between Spark's
+partial-agg tree and DuckDB's fold, and a float score would
+hash-mismatch on ulp noise. The only float steps are the
+per-DISTINCT-bucket ``ln`` (4096 rows, not corpus-sized) and the
+per-doc Gumbel transform of an md5-derived uniform (one deterministic
+value per doc_id in both engines — ``-ln(-ln((h+1)/(2^32+1)))``).
+
+Scale shape (100 TB):
+
+1. ONE corpus pass builds BOTH distributions: the feature explode
+   (unigrams + bigrams, zip_with — no per-element lambda) feeds a
+   conditional aggregate groupBy(bucket) — 4096 rows out, map-side
+   combinable, the Zipf head absorbed by partial aggregation.
+2. The λ weight table is 4096 rows and is BROADCAST into the scoring
+   join — the corpus-side explode never shuffles on the (maximally
+   skewed) bucket key; the only corpus exchange is groupBy(doc_id).
+3. Top-k runs the same two-phase distributed-threshold shape as
+   ``ops/budget.py``: coarse-bucket histogram (key >> 20 — a few
+   thousand buckets for fixed-point keys) collected to the driver,
+   prefix-scan finds the boundary coarse bucket, rows above pass with
+   no sort, and ONLY the boundary bucket is range-partitioned and
+   window-ranked with per-partition driver offsets. Gumbel keys are
+   ~unique per doc, so no coarse bucket can degenerate to the whole
+   corpus the way an all-one-score quality histogram can.
+
+The DuckDB oracle is the INDEPENDENT naive form — the same keyed CTE
+ranked by one global ``row_number()`` window — so the gate proves the
+distributed top-k decomposition equals the textbook definition row for
+row. Reference anchor: selection tier alongside SURVEY §2 A6/K2
+(reporting + decision operators); no Kotlin analog — the reference has
+no corpus-selection layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_BUCKETS = 4096  # 3 md5 nibbles
+FP_SCALE = 1_000_000
+COARSE = 1 << 20  # fixed-point key -> coarse histogram bucket
+
+_HEX = "'0123456789abcdef'"
+
+
+def _nib(h: str, i: int) -> str:
+    """0-15 value of the i-th (1-based) hex nibble of ``h`` — portable
+    across Spark and DuckDB (both lack a shared hex->int builtin)."""
+    return f"(instr({_HEX}, substring({h}, {i}, 1)) - 1)"
+
+
+def _bucket(h: str) -> str:
+    """First 3 nibbles of an md5 hex digest -> bucket in [0, 4096)."""
+    return f"({_nib(h, 1)} * 256 + {_nib(h, 2)} * 16 + {_nib(h, 3)})"
+
+
+def _gumbel_fp(dialect: str) -> str:
+    """floor(Gumbel(0,1) * 10^6) from a deterministic md5 uniform of
+    doc_id: u = (first-8-nibble integer + 1) / (2^32 + 1) in (0, 1)
+    strictly open, g = -ln(-ln(u)). Same md5 hex in both engines, so
+    the same doc always draws the same noise (retry-safe, rerunnable)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = f"md5(concat('dsir:', CAST(doc_id AS {cast})))"
+    u_int = " + ".join(  # CAST: 15 * 16^7 overflows 32-bit INT in Spark
+        f"CAST({_nib(h, i)} AS BIGINT) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return (
+        f"CAST(floor(-ln(-ln((({u_int}) + 1.0) / 4294967297.0))"
+        f" * {FP_SCALE}.0) AS BIGINT)"
+    )
+
+
+def dsir_keyed_sql(dialect: str) -> str:
+    """(doc_id, z_fp, sample_key_fp): fixed-point DSIR importance score
+    and Gumbel-perturbed resampling key per document. Shared verbatim by
+    the Spark engine (which tops-k it distributed) and the DuckDB oracle
+    (which ranks it with one naive global window)."""
+    from .classifier import _labeled
+    from .queries import _tokens, _word_ngrams  # noqa: F401 (dialect fns)
+
+    ln_f = "size" if dialect == "spark" else "len"
+    unnest = "explode" if dialect == "spark" else "unnest"
+    cat = "concat" if dialect == "spark" else "list_concat"
+    bigrams = _word_ngrams(dialect, "t", 2)
+    hint = "/*+ BROADCAST(m) */ " if dialect == "spark" else ""
+    return f"""
+WITH labeled AS ({_labeled(dialect)}),
+docs2 AS (
+  SELECT doc_id, keep, t FROM labeled
+  WHERE greatest(coalesce({ln_f}(t), 0), 0) > 0
+),
+feats AS (
+  SELECT doc_id, keep, {_bucket("md5(g)")} AS b
+  FROM (
+    SELECT doc_id, keep, {unnest}(fa) AS g
+    FROM (SELECT doc_id, keep, {cat}(t, {bigrams}) AS fa FROM docs2) fx
+  ) gx
+),
+counts AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS raw_n,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+  FROM feats GROUP BY b
+),
+tot AS (
+  SELECT sum(raw_n) AS r_tot, sum(tgt_n) AS t_tot FROM counts
+),
+lam AS (
+  SELECT b,
+         CAST(floor((ln((tgt_n + 1.0) / (t_tot + {N_BUCKETS}))
+                     - ln((raw_n + 1.0) / (r_tot + {N_BUCKETS})))
+                    * {FP_SCALE}.0) AS BIGINT) AS w_fp
+  FROM counts CROSS JOIN tot
+),
+occ AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, b
+),
+z AS (
+  SELECT {hint}o.doc_id, CAST(sum(o.c * m.w_fp) AS BIGINT) AS z_fp
+  FROM occ o JOIN lam m ON o.b = m.b
+  GROUP BY o.doc_id
+)
+SELECT doc_id, z_fp,
+       CAST(z_fp + {_gumbel_fp(dialect)} AS BIGINT) AS sample_key_fp
+FROM z
+"""
+
+
+def dsir_oracle_sql(keep_frac_den: int = 4) -> str:
+    """DuckDB oracle: the textbook Gumbel-top-k — ONE global
+    row_number() window over the shared keyed CTE, k = n // 4."""
+    return f"""
+WITH keyed AS ({dsir_keyed_sql("duckdb")}),
+n AS (SELECT count(*) AS n FROM keyed),
+r AS (
+  SELECT doc_id, z_fp, sample_key_fp,
+         row_number() OVER (ORDER BY sample_key_fp DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, z_fp, sample_key_fp,
+       CAST(rk <= (SELECT n // {keep_frac_den} FROM n) AS BOOLEAN) AS keep
+FROM r
+"""
+
+
+def dsir_select(
+    spark: SparkSession, sf_dir: str, keep_frac_den: int = 4,
+    release_cache: bool = True,
+) -> DataFrame:
+    """Per-document DSIR verdict: (doc_id, z_fp, sample_key_fp, keep)
+    with keep = membership in the Gumbel-top-(n // ``keep_frac_den``)
+    resample. Distributed top-k per the module docstring: coarse
+    histogram -> driver prefix-scan -> only the boundary coarse bucket
+    is range-partitioned + window-ranked with driver offsets. ``keyed``
+    (the corpus scan + feature explode + scoring join) is persisted so
+    the expensive subtree runs ONCE across the histogram collect and
+    both output branches."""
+    from pyspark import StorageLevel
+
+    from .queries import register_views
+
+    register_views(spark, sf_dir)
+    keyed = spark.sql(dsir_keyed_sql("spark")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cb = F.floor(F.col("sample_key_fp") / F.lit(float(COARSE))).cast("long")
+    hist = keyed.groupBy(cb.alias("cb")).count().collect()
+    n = sum(r["count"] for r in hist)
+    k = n // keep_frac_den
+
+    taken = 0
+    boundary = None  # coarse bucket needing an in-bucket rank prefix
+    remaining = 0
+    full_above = None  # cb STRICTLY above this passes outright
+    for r in sorted(hist, key=lambda r: -r.cb):
+        if taken + r["count"] <= k:
+            taken += r["count"]
+            full_above = r.cb
+        else:
+            boundary = r.cb
+            remaining = k - taken
+            break
+
+    tagged = keyed.withColumn("cb", cb)
+    if boundary is None:
+        # every coarse bucket fit under k (k >= n): all keep
+        out = tagged.drop("cb").withColumn(
+            "keep", F.lit(full_above is not None)
+        )
+        if not release_cache:
+            from .queries import _attach_release
+
+            return _attach_release(
+                out, lambda: keyed.unpersist(blocking=False)
+            )
+        try:
+            return out.localCheckpoint(eager=True)
+        finally:
+            keyed.unpersist(blocking=False)
+
+    rest = tagged.filter(F.col("cb") != boundary).withColumn(
+        "keep", F.col("cb") > F.lit(boundary)
+    )
+    # boundary coarse bucket: global (key DESC, doc_id) order equals
+    # (pid, negkey, doc_id) order under ascending range partitioning of
+    # negkey — rank within each pid + driver offset, same shape as
+    # ops/budget.py's boundary scan. Persisted so the sampled range
+    # boundaries are frozen between the offset collect and the read-back.
+    n_sub = max(2, spark.sparkContext.defaultParallelism)
+    bucket = (
+        tagged.filter(F.col("cb") == boundary)
+        .withColumn("negkey", -F.col("sample_key_fp"))
+        .repartitionByRange(n_sub, "negkey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sub_hist = bucket.groupBy("pid").count().collect()
+    acc = 0
+    offsets = {}
+    for r in sorted(sub_hist, key=lambda r: r.pid):
+        offsets[r.pid] = acc
+        acc += r["count"]
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("negkey", "doc_id")
+    boundary_rows = (
+        bucket.withColumn("rk", F.row_number().over(w) + off_expr)
+        .withColumn("keep", F.col("rk") <= F.lit(remaining))
+        .drop("rk", "negkey", "pid")
+    )
+    out = rest.unionByName(boundary_rows).drop("cb").select(
+        "doc_id", "z_fp", "sample_key_fp", "keep"
+    )
+    if not release_cache:
+        from .queries import _attach_release
+
+        return _attach_release(
+            out,
+            lambda: (
+                bucket.unpersist(blocking=False),
+                keyed.unpersist(blocking=False),
+            ),
+        )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucket.unpersist(blocking=False)
+        keyed.unpersist(blocking=False)

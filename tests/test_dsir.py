@@ -1,0 +1,98 @@
+"""DSIR importance resampling (ops/dsir.py).
+
+The driver's DuckDB oracle grades the full output at sf0.01; these tests
+pin what that gate can't see — that the distributed coarse-histogram
+top-k equals a local full sort at several keep fractions, that the
+importance scores point the right way (toward the teacher's keep class),
+the degenerate-corpus behavior of BOTH dialects, and the plan shape
+(the 4096-row λ table is broadcast, never shuffled against)."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    from lingua_spark.ops.dsir import dsir_keyed_sql
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    return spark.sql(dsir_keyed_sql("spark")).toPandas()
+
+
+@pytest.mark.parametrize("den", [2, 4, 10])
+def test_dsir_matches_local_topk(spark, keyed, den):
+    """The two-phase coarse-bucket threshold keeps EXACTLY the local
+    full-sort top-(n // den) by (sample_key DESC, doc_id) — boundary
+    cuts land in different coarse buckets at different fractions."""
+    from lingua_spark.ops.dsir import dsir_select
+
+    got = dsir_select(spark, SF, keep_frac_den=den).toPandas()
+    assert len(got) == len(keyed)
+    k = len(keyed) // den
+    want = set(
+        keyed.sort_values(
+            ["sample_key_fp", "doc_id"], ascending=[False, True]
+        ).doc_id.head(k)
+    )
+    assert set(got[got.keep].doc_id) == want
+    assert got.keep.sum() == k
+
+
+def test_dsir_importance_direction(spark, keyed):
+    """Teacher-keep documents score higher on average than teacher-drop
+    documents — the importance ratio points toward the target domain
+    (otherwise the resample would anti-select quality)."""
+    from lingua_spark.ops.classifier import _labeled
+
+    labels = spark.sql(
+        f"SELECT doc_id, keep FROM ({_labeled('spark')}) t"
+    ).toPandas()
+    m = keyed.merge(labels, on="doc_id")
+    assert m[m.keep].z_fp.mean() > m[~m.keep].z_fp.mean()
+    # guard against a vacuous teacher: both classes must be populated
+    assert 0 < m.keep.sum() < len(m)
+
+
+def test_dsir_degenerate_corpus_both_dialects(spark):
+    """NULL / empty / whitespace-only documents produce NO features and
+    are excluded from the resample in BOTH engines (Spark's
+    size(NULL) = -1 and DuckDB's len(NULL) = NULL both clamp out)."""
+    from lingua_spark.ops.dsir import dsir_oracle_sql
+
+    rows = [(0, None), (1, ""), (2, "   ")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = con.execute(dsir_oracle_sql()).df()
+    assert len(duck) == 0
+
+    # Spark path: register_views would clobber the temp view with the
+    # parquet table, so drive the keyed SQL + select on the temp view
+    # by calling the internals directly
+    from lingua_spark.ops.dsir import dsir_keyed_sql
+
+    sdf = spark.sql(dsir_keyed_sql("spark")).toPandas()
+    assert len(sdf) == 0
+    assert list(sdf.columns) == ["doc_id", "z_fp", "sample_key_fp"]
+
+
+def test_dsir_lambda_table_is_broadcast(spark):
+    """Plan gate: the scoring join builds the 4096-row λ table as a
+    BroadcastExchange — the corpus-side feature explode must never
+    shuffle on the (maximally skewed) bucket key."""
+    from lingua_spark.ops.dsir import dsir_keyed_sql
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    df = spark.sql(dsir_keyed_sql("spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
