@@ -75,6 +75,7 @@ _SQL_GRADED_FIRST = [
     # gates below (green driver rows in r01-r04) for prefix slots
     "quality_nb_train",
     "quality_nb_score",
+    "quality_nb_calibration",
     "pii_scrub_sql",
     "quality_keep_sql",
     "gopher_quality",

@@ -38,6 +38,7 @@ HEADLINE_QUERIES = [
     "textstats_tokens",
     "quality_keep_sql",
     "quality_nb_score",
+    "quality_nb_calibration",
     "turn_dedup_crossconv",
     # round-4 additions (outside _R03_SET, so the comparable total holds)
     "tfidf_top_terms",

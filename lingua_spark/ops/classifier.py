@@ -146,3 +146,58 @@ SELECT s.doc_id, s.n_features, s.score_fp,
 FROM scored s JOIN (SELECT doc_id, keep FROM labeled) l
   ON s.doc_id = l.doc_id
 """
+
+
+# fixed sweep of fixed-point decision thresholds (units of logodds*10^6):
+# symmetric around the NB default 0, spanning the score range observed on
+# the synthetic corpus so the sweep brackets the operating point
+CALIBRATION_THRESHOLDS = (
+    -20_000_000, -5_000_000, -1_000_000, 0, 1_000_000, 5_000_000,
+    20_000_000,
+)
+
+
+def nb_calibration_sql(dialect: str) -> str:
+    """Threshold-sweep calibration audit for the trained classifier: for
+    each candidate decision threshold, the confusion counts against the
+    teacher plus precision / recall / F1 — the table you read before
+    moving the operating point (fineweb-edu publishes exactly this sweep
+    for its classifier cut; public recipe). A learned filter shipped
+    without its calibration table is a silent-caps violation: the 0
+    threshold is a choice, and this surfaces what the other choices
+    would do.
+
+    Scale shape: the per-doc scores come from the same scoring join as
+    ``quality_nb_score`` (one corpus pass, broadcast model); the sweep
+    is a cross join against a {n}-row literal VALUES table — the
+    per-(threshold) confusion counts are ONE map-side-combinable
+    aggregate over (tiny threshold int × boolean) rows, never a second
+    corpus pass per threshold. Ratios are computed AFTER the BIGINT
+    confusion counts (CAST ... AS DOUBLE of identical integer inputs —
+    engine-portable), NULL when undefined (no predicted / no actual
+    positives).""".format(n=len(CALIBRATION_THRESHOLDS))
+    vals = ", ".join(f"({t})" for t in CALIBRATION_THRESHOLDS)
+    score = nb_score_sql(dialect)
+    return f"""
+WITH s AS ({score}),
+sweep AS (
+  SELECT t.thr,
+         CAST(sum(CASE WHEN s.score_fp > t.thr AND s.teacher_keep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s.score_fp > t.thr AND NOT s.teacher_keep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN s.score_fp <= t.thr AND s.teacher_keep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN s.score_fp <= t.thr AND NOT s.teacher_keep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM s CROSS JOIN (VALUES {vals}) AS t(thr)
+  GROUP BY t.thr
+)
+SELECT CAST(thr AS BIGINT) AS threshold_fp, tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision_keep,
+       CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall_keep,
+       CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0) AS f1_keep,
+       CAST((tp + tn) AS DOUBLE) / nullif(tp + fp + fn + tn, 0)
+         AS accuracy
+FROM sweep
+"""

@@ -3565,7 +3565,11 @@ def detect_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # trained quality classifier (round 5) — registered from its own module
 # at the tail so classifier.py can import _tokens/_KEEP_EXPR_* above
-from .classifier import nb_score_sql, nb_train_sql  # noqa: E402
+from .classifier import (  # noqa: E402
+    nb_calibration_sql,
+    nb_score_sql,
+    nb_train_sql,
+)
 
 SQL_QUERIES["quality_nb_train"] = (
     nb_train_sql("spark"),
@@ -3574,4 +3578,8 @@ SQL_QUERIES["quality_nb_train"] = (
 SQL_QUERIES["quality_nb_score"] = (
     nb_score_sql("spark"),
     nb_score_sql("duckdb"),
+)
+SQL_QUERIES["quality_nb_calibration"] = (
+    nb_calibration_sql("spark"),
+    nb_calibration_sql("duckdb"),
 )

@@ -81,6 +81,37 @@ def test_nb_classifier_learns_the_teacher(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_nb_calibration_sweep_invariants(spark):
+    """quality_nb_calibration: one row per threshold, the confusion
+    counts partition the corpus at EVERY threshold, predicted-keep
+    counts are monotonically non-increasing in the threshold (raising
+    the bar never admits more documents), and the threshold-0 row
+    reproduces quality_nb_score's agreement exactly."""
+    from lingua_spark.ops.classifier import CALIBRATION_THRESHOLDS
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, SF)
+    cal = (
+        spark.sql(SQL_QUERIES["quality_nb_calibration"][0])
+        .toPandas()
+        .sort_values("threshold_fp")
+        .reset_index(drop=True)
+    )
+    assert list(cal.threshold_fp) == sorted(CALIBRATION_THRESHOLDS)
+    score = spark.sql(SQL_QUERIES["quality_nb_score"][0]).toPandas()
+    n = len(score)
+    assert ((cal.tp + cal.fp + cal.fn + cal.tn) == n).all()
+    pred = cal.tp + cal.fp
+    assert (pred.diff().dropna() <= 0).all(), "keep count must shrink"
+    zero = cal[cal.threshold_fp == 0].iloc[0]
+    assert zero.tp + zero.tn == score.agree.sum()
+    # ratio columns agree with their integer numerators/denominators
+    ok = cal.tp + cal.fp > 0
+    assert (
+        cal[ok].precision_keep == cal[ok].tp / (cal[ok].tp + cal[ok].fp)
+    ).all()
+
+
 def test_water_fill_matches_brute_force_definition():
     """water_fill (the sequential integer loop the Spark driver runs)
     must equal the DECLARATIVE definition the DuckDB oracle encodes:
