@@ -76,6 +76,8 @@ _SQL_GRADED_FIRST = [
     "quality_nb_train",
     "quality_nb_score",
     "quality_nb_calibration",
+    # true CCNet perplexity (round 5): trigram-LM NLL per document
+    "ppl_trigram_score",
     "pii_scrub_sql",
     "quality_keep_sql",
     "gopher_quality",

@@ -39,6 +39,7 @@ HEADLINE_QUERIES = [
     "quality_keep_sql",
     "quality_nb_score",
     "quality_nb_calibration",
+    "ppl_trigram_score",
     "turn_dedup_crossconv",
     # round-4 additions (outside _R03_SET, so the comparable total holds)
     "tfidf_top_terms",

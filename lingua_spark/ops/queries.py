@@ -960,6 +960,80 @@ WHERE c1.n = 1 OR cp.c IS NOT NULL
 """
 
 
+def _ppl_trigram_score(dialect: str) -> str:
+    """Per-document character-TRIGRAM negative-log-likelihood under the
+    per-language model trained by the distributed training job — true
+    CCNet-style perplexity scoring (Wenzek et al. 2020 §4.3 score a
+    KenLM per language; here the LM is the reference's own conditional
+    trigram model, freq(g) = c(g)/c(prefix), trained on the corpus by
+    the SAME counts CTE as ``model_train_ngrams``). This replaces the
+    stopword-density PROXY that ``ccnet_quality_buckets`` ranks on with
+    the real quantity; a production run swaps the self-trained counts
+    for a pretrained model table via the S1/S2 scan path.
+
+    Numeric discipline (same as ``ops/classifier.py``): per-trigram log
+    probabilities are fixed-point BIGINTs (floor(ln(freq)·10^6)) so the
+    per-document total is an EXACT integer sum in any aggregation
+    order; avg_nll_fp is integer division of the total. Self-trained
+    counts mean no OOV trigram exists, so no smoothing branch — the
+    scoring join is inner and total (every letter trigram of every doc
+    appears in the model by construction).
+
+    Scale shape: pass 1 is the training explode (counts are
+    (lang, n, g)-keyed map-side-combinable aggregates; the Zipf head
+    combines before the exchange); the trigram/bigram ratio join is
+    aggregate-vs-aggregate (M-sized). The model is
+    alphabet-BOUNDED — at most |Σ|³ rows per language regardless of
+    corpus size (≈1.3M rows for 75 Latin-script languages) — and is
+    BROADCAST into the scoring join, so pass 2 (the per-doc trigram
+    explode) never shuffles on the skewed trigram key; the only
+    corpus-sized exchange is the final groupBy(doc_id). Docs with no
+    letter trigram (cleaned length < 3) are absent in both dialects."""
+    c = _cleaned(dialect)
+    counts = _model_train_counts_sql(dialect, 3)
+    if dialect == "spark":
+        tri = (
+            "explode(CASE WHEN length(c) >= 3 THEN"
+            " transform(sequence(1, length(c) - 2),"
+            " i -> substring(c, i, 3)) ELSE array() END)"
+        )
+        letter = "g rlike '^[\\\\p{L}]+$'"
+        idiv = "DIV"
+        hint = "/*+ BROADCAST(m) */ "
+    else:
+        tri = (
+            "unnest(CASE WHEN length(c) >= 3 THEN"
+            " list_transform(range(1, length(c) - 1),"
+            " i -> substring(c, i::INT, 3)) ELSE [] END)"
+        )
+        letter = "regexp_matches(g, '^\\p{L}+$')"
+        idiv = "//"
+        hint = ""
+    return f"""
+WITH counts AS ({counts}),
+model AS (
+  SELECT c3.lang, c3.g,
+         CAST(floor(ln(CAST(c3.c AS DOUBLE) / c2.c) * 1000000.0)
+              AS BIGINT) AS w_fp
+  FROM counts c3 JOIN counts c2
+    ON c3.n = 3 AND c2.n = 2 AND c2.lang = c3.lang
+   AND c2.g = substring(c3.g, 1, 2)
+),
+doctri AS (
+  SELECT doc_id, lang, g FROM (
+    SELECT doc_id, lang, {tri} AS g FROM
+      (SELECT doc_id, lang, coalesce({c}, '') AS c FROM documents) dc
+  ) dt WHERE {letter}
+)
+SELECT {hint}d.doc_id, d.lang,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(-sum(m.w_fp) AS BIGINT) AS nll_fp,
+       CAST((-sum(m.w_fp)) {idiv} count(*) AS BIGINT) AS avg_nll_fp
+FROM doctri d JOIN model m ON d.lang = m.lang AND d.g = m.g
+GROUP BY d.doc_id, d.lang
+"""
+
+
 SQL_QUERIES["model_train_ngrams"] = (
     _model_train_ngrams("spark"),
     _model_train_ngrams("duckdb"),
@@ -3582,4 +3656,8 @@ SQL_QUERIES["quality_nb_score"] = (
 SQL_QUERIES["quality_nb_calibration"] = (
     nb_calibration_sql("spark"),
     nb_calibration_sql("duckdb"),
+)
+SQL_QUERIES["ppl_trigram_score"] = (
+    _ppl_trigram_score("spark"),
+    _ppl_trigram_score("duckdb"),
 )

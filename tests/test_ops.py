@@ -1536,6 +1536,81 @@ def test_turn_dedup_crossconv_hand_corpus(spark):
     assert [tuple(r) for r in got.itertuples(index=False)] == want
 
 
+def test_ppl_trigram_score_direction_hand_corpus(spark):
+    """ppl_trigram_score: per-trigram NLL under the conditional model is
+    ln(c(prefix)/c(trigram)) — a document taking a RARE continuation of
+    a common prefix ('thx' where the corpus says 'the') scores a higher
+    avg NLL than one following the dominant pattern; exact fixed-point
+    values pinned against the closed form; a doc whose cleaned text has
+    no letter trigram is absent from the output."""
+    import math
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [(i, "the the the", "xx") for i in range(9)]
+    rows += [
+        (9, "thx thx thx", "xx"),   # rare continuation of common 'th'
+        (10, "12 34!", "xx"),       # cleaned: no letter trigram
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang"]
+    ).createOrReplaceTempView("documents")
+    got = (
+        spark.sql(SQL_QUERIES["ppl_trigram_score"][0])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(got.index) == set(range(10))
+    assert got.loc[0].avg_nll_fp < got.loc[9].avg_nll_fp
+    # closed form: c('the')=27, c('thx')=3, c('th')=30
+    per_the = -math.floor(math.log(27 / 30) * 1_000_000)
+    per_thx = -math.floor(math.log(3 / 30) * 1_000_000)
+    assert got.loc[0].nll_fp == 3 * per_the
+    assert got.loc[9].nll_fp == 3 * per_thx
+    assert (got.avg_nll_fp == got.nll_fp // got.n_trigrams).all()
+
+
+def test_ppl_trigram_score_invariants_on_corpus(spark):
+    """ppl_trigram_score on the real table: every doc with >= 3 letter
+    chars in cleaned text scores, n_trigrams matches an independent
+    pandas recount of LETTER-ONLY trigrams, and the scoring join
+    broadcasts the alphabet-bounded model."""
+    import re
+    import unicodedata
+
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql(SQL_QUERIES["ppl_trigram_score"][0])
+    r = df.toPandas().set_index("doc_id")
+    docs = spark.table("documents").select("doc_id", "text").toPandas()
+
+    def n_letter_tris(t):
+        # independent twin of _cleaned (\p{N}\p{P} stripped via
+        # unicodedata categories, whitespace collapsed) + \p{L}+ check
+        # via str.isalpha
+        c = (t or "").lower().strip()
+        c = "".join(
+            ch
+            for ch in c
+            if not unicodedata.category(ch).startswith(("N", "P"))
+        )
+        c = re.sub(r"\s+", " ", c)
+        return sum(
+            1
+            for i in range(max(len(c) - 2, 0))
+            if c[i : i + 3].isalpha()
+        )
+
+    docs["want"] = docs.text.map(n_letter_tris)
+    scored = docs[docs.want > 0]
+    assert set(scored.doc_id) == set(r.index)
+    merged = scored.set_index("doc_id").join(r)
+    assert (merged.n_trigrams == merged.want).all()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_turn_dedup_crossconv_invariants_on_corpus(spark):
     """turn_dedup_crossconv on the real table: one verdict per turn,
     keep == (share < 2), and every share agrees with an independent
