@@ -69,7 +69,6 @@ _SQL_GRADED_FIRST = [
     "decontaminate_ngram",
     "decontaminate_minhash",
     "conv_select_final",
-    "conv_minhash_pairs",
     # trained quality classifier (round 5): the learned filter tier —
     # never driver-graded before round 5, so it outranks the heuristic
     # gates below (green driver rows in r01-r04) for prefix slots
@@ -79,6 +78,9 @@ _SQL_GRADED_FIRST = [
     # true CCNet perplexity (round 5): trigram-LM NLL per document
     "ppl_trigram_score",
     "pii_scrub_sql",
+    # conv_minhash_pairs feeds the graded conv_minhash_cc (block 1) and
+    # has its own r04 green row — ceded its prefix slot to round-5 ops
+    "conv_minhash_pairs",
     "quality_keep_sql",
     "gopher_quality",
     # past this point entries fall outside the 50-slot grading prefix
