@@ -75,8 +75,6 @@ _SQL_GRADED_FIRST = [
     "quality_nb_train",
     "quality_nb_score",
     "quality_nb_calibration",
-    # true CCNet perplexity (round 5): trigram-LM NLL per document
-    "ppl_trigram_score",
     "pii_scrub_sql",
     # conv_minhash_pairs feeds the graded conv_minhash_cc (block 1) and
     # has its own r04 green row — ceded its prefix slot to round-5 ops
@@ -195,6 +193,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # persisted-counts DF twin of model_train_ngrams (one corpus-sized
     # explode instead of two); value-identical, shares the SQL oracle
     out["model_train_df"] = model_train_df
+    # CANONICAL trigram-perplexity entry (round 5): persisted-counts
+    # scoring — the corpus is scanned exactly twice (train + score);
+    # ppl_trigram_score_sql (SQL block) is the oracle definition whose
+    # twice-referenced counts CTE Spark inlines into two training
+    # explodes
+    from lingua_spark.ops.queries import ppl_score_df
+
+    out["ppl_trigram_score"] = ppl_score_df
     # skew-safe salted two-phase conversation rollup, graded against an
     # UNSALTED single-phase oracle (value-identity of the decomposition)
     out["conv_stats_salted"] = conv_stats_salted
@@ -226,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_jaccard_pairs_df"] = out["dedup_jaccard_pairs"]
     out["dedup_fingerprint_pairs"] = out["dedup_fingerprint_pairs_sql"]
     out["model_train_df"] = out["model_train_ngrams"]
+    out["ppl_trigram_score"] = out["ppl_trigram_score_sql"]
     # independent-algorithm oracle: recursive-CTE transitive closure vs
     # the Spark side's iterative label propagation
     from lingua_spark.ops.queries import (

@@ -39,7 +39,7 @@ HEADLINE_QUERIES = [
     "quality_keep_sql",
     "quality_nb_score",
     "quality_nb_calibration",
-    "ppl_trigram_score",
+    "ppl_trigram_score_sql",
     "turn_dedup_crossconv",
     # round-4 additions (outside _R03_SET, so the comparable total holds)
     "tfidf_top_terms",
@@ -87,6 +87,7 @@ DF_QUERIES = [
     "corpus_token_budget",
     "corpus_budget_by_source",
     "dsir_select",
+    "ppl_trigram_score",
     "dedup_incremental",
     "model_train_df",
     "conv_minhash_cc",

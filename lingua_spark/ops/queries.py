@@ -989,8 +989,18 @@ def _ppl_trigram_score(dialect: str) -> str:
     explode) never shuffles on the skewed trigram key; the only
     corpus-sized exchange is the final groupBy(doc_id). Docs with no
     letter trigram (cleaned length < 3) are absent in both dialects."""
-    c = _cleaned(dialect)
     counts = _model_train_counts_sql(dialect, 3)
+    return (
+        f"WITH counts AS ({counts}){_ppl_final_sql(dialect, 'counts')}"
+    )
+
+
+def _ppl_final_sql(dialect: str, counts_ref: str) -> str:
+    """Scoring tail of ``_ppl_trigram_score`` over a counts relation —
+    split out so ``ppl_score_df`` can aim it at a PERSISTED counts view
+    (the pure-SQL form's twice-referenced counts CTE is inlined by
+    Spark into two training explodes; the DF twin runs it once)."""
+    c = _cleaned(dialect)
     if dialect == "spark":
         tri = (
             "explode(CASE WHEN length(c) >= 3 THEN"
@@ -1009,13 +1019,12 @@ def _ppl_trigram_score(dialect: str) -> str:
         letter = "regexp_matches(g, '^\\p{L}+$')"
         idiv = "//"
         hint = ""
-    return f"""
-WITH counts AS ({counts}),
+    return f""",
 model AS (
   SELECT c3.lang, c3.g,
          CAST(floor(ln(CAST(c3.c AS DOUBLE) / c2.c) * 1000000.0)
               AS BIGINT) AS w_fp
-  FROM counts c3 JOIN counts c2
+  FROM {counts_ref} c3 JOIN {counts_ref} c2
     ON c3.n = 3 AND c2.n = 2 AND c2.lang = c3.lang
    AND c2.g = substring(c3.g, 1, 2)
 ),
@@ -1032,6 +1041,40 @@ SELECT {hint}d.doc_id, d.lang,
 FROM doctri d JOIN model m ON d.lang = m.lang AND d.g = m.g
 GROUP BY d.doc_id, d.lang
 """
+
+
+def ppl_score_df(
+    spark: SparkSession, sf_dir: str, release_cache: bool = True
+) -> DataFrame:
+    """One-training-pass twin of ``ppl_trigram_score`` (the canonical
+    graded entry): the (lang, n, ngram) count table is persisted ONCE
+    and both sides of the trigram/bigram ratio join read the cached
+    aggregate, so the corpus is scanned exactly twice (train + score) —
+    the pure-SQL form's inlined counts CTE trains twice. Same
+    cache-hygiene contract as ``model_train_df``: eager localCheckpoint
+    + release by default, ``release_cache=False`` hands the caller a
+    lazy plan with ``lingua_release()`` attached."""
+    import uuid
+
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    counts = spark.sql(_model_train_counts_sql("spark", 3))
+    counts.persist(StorageLevel.MEMORY_AND_DISK)
+    view = f"__ppl_counts_{uuid.uuid4().hex}"
+    counts.createOrReplaceTempView(view)
+    out = spark.sql(f"WITH _one AS (SELECT 1){_ppl_final_sql('spark', view)}")
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(view)
+        counts.unpersist(blocking=False)
+        return out
+
+    def _release():
+        spark.catalog.dropTempView(view)
+        counts.unpersist(blocking=False)
+
+    return _attach_release(out, _release)
 
 
 SQL_QUERIES["model_train_ngrams"] = (
@@ -3657,7 +3700,7 @@ SQL_QUERIES["quality_nb_calibration"] = (
     nb_calibration_sql("spark"),
     nb_calibration_sql("duckdb"),
 )
-SQL_QUERIES["ppl_trigram_score"] = (
+SQL_QUERIES["ppl_trigram_score_sql"] = (
     _ppl_trigram_score("spark"),
     _ppl_trigram_score("duckdb"),
 )

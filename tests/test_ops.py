@@ -1556,7 +1556,7 @@ def test_ppl_trigram_score_direction_hand_corpus(spark):
         rows, ["doc_id", "text", "lang"]
     ).createOrReplaceTempView("documents")
     got = (
-        spark.sql(SQL_QUERIES["ppl_trigram_score"][0])
+        spark.sql(SQL_QUERIES["ppl_trigram_score_sql"][0])
         .toPandas()
         .set_index("doc_id")
     )
@@ -1581,7 +1581,7 @@ def test_ppl_trigram_score_invariants_on_corpus(spark):
     from lingua_spark.ops.queries import SQL_QUERIES, register_views
 
     register_views(spark, "/root/testdata/sf0.001")
-    df = spark.sql(SQL_QUERIES["ppl_trigram_score"][0])
+    df = spark.sql(SQL_QUERIES["ppl_trigram_score_sql"][0])
     r = df.toPandas().set_index("doc_id")
     docs = spark.table("documents").select("doc_id", "text").toPandas()
 
@@ -1609,6 +1609,32 @@ def test_ppl_trigram_score_invariants_on_corpus(spark):
     assert (merged.n_trigrams == merged.want).all()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ppl_score_df_matches_sql_form(spark):
+    """ppl_score_df (the canonical persisted-counts shape) is
+    value-identical to the SQL oracle form, and its plan reads the
+    counts aggregate from cache (one training explode, not two)."""
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        ppl_score_df,
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    want = (
+        spark.sql(SQL_QUERIES["ppl_trigram_score_sql"][0])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lazy = ppl_score_df(spark, "/root/testdata/sf0.001",
+                        release_cache=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    got = lazy.toPandas().sort_values("doc_id").reset_index(drop=True)
+    lazy.lingua_release()
+    assert "InMemoryTableScan" in plan
+    assert got.equals(want)
 
 
 def test_turn_dedup_crossconv_invariants_on_corpus(spark):
