@@ -53,31 +53,33 @@ _SQL_GRADED_FIRST = [
     "k2_argmax_window",
     "a6_lang_agg",
     "model_train_ngrams",
+    # round-5 SQL additions — never driver-graded before, so they
+    # outrank the multiply-green r01-r04 entries below for prefix slots
+    "quality_nb_train",
+    "quality_nb_score",
+    "quality_nb_calibration",
+    "turn_dedup_crossconv",
     # dedup family (the 100 TB workhorses)
     "dedup_exact",
-    "dedup_exact_flags",
-    "turn_dedup_crossconv",
     "dedup_minhash_lsh_pairs",
-    "dedup_minhash_lsh_hot_buckets",
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_fingerprint_pairs_sql",
     "dedup_substring_spans",
     "dedup_substring_trim",
     "sim_cosine_topk",
-    # decontamination + selection + scrub (the north-rule core)
+    # decontamination (the north-rule core)
     "decontaminate_ngram",
     "decontaminate_minhash",
+    # past here: multiply-green r01-r04 entries that ceded prefix slots
+    # to round-5 ops (each has a graded superset in block 1 or >=2 green
+    # driver rows): exact_flags/hot_buckets are audits of graded ops,
+    # conv_select_final is subsumed by conv_select_with_neardup,
+    # conv_minhash_pairs feeds the graded conv_minhash_cc
+    "dedup_exact_flags",
+    "dedup_minhash_lsh_hot_buckets",
     "conv_select_final",
-    # trained quality classifier (round 5): the learned filter tier —
-    # never driver-graded before round 5, so it outranks the heuristic
-    # gates below (green driver rows in r01-r04) for prefix slots
-    "quality_nb_train",
-    "quality_nb_score",
-    "quality_nb_calibration",
     "pii_scrub_sql",
-    # conv_minhash_pairs feeds the graded conv_minhash_cc (block 1) and
-    # has its own r04 green row — ceded its prefix slot to round-5 ops
     "conv_minhash_pairs",
     "quality_keep_sql",
     "gopher_quality",
@@ -198,9 +200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ppl_trigram_score_sql (SQL block) is the oracle definition whose
     # twice-referenced counts CTE Spark inlines into two training
     # explodes
-    from lingua_spark.ops.queries import ppl_score_df
+    from lingua_spark.ops.queries import ccnet_buckets_ppl, ppl_score_df
 
     out["ppl_trigram_score"] = ppl_score_df
+    # CCNet bucketing by TRUE perplexity (round 5): composition of the
+    # persisted score table + sampled-tertile broadcast assignment
+    out["ccnet_buckets_ppl"] = ccnet_buckets_ppl
     # skew-safe salted two-phase conversation rollup, graded against an
     # UNSALTED single-phase oracle (value-identity of the decomposition)
     out["conv_stats_salted"] = conv_stats_salted
@@ -233,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_fingerprint_pairs"] = out["dedup_fingerprint_pairs_sql"]
     out["model_train_df"] = out["model_train_ngrams"]
     out["ppl_trigram_score"] = out["ppl_trigram_score_sql"]
+    from lingua_spark.ops.queries import ccnet_buckets_ppl_oracle_sql
+
+    out["ccnet_buckets_ppl"] = ccnet_buckets_ppl_oracle_sql()
     # independent-algorithm oracle: recursive-CTE transitive closure vs
     # the Spark side's iterative label propagation
     from lingua_spark.ops.queries import (

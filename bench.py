@@ -88,6 +88,7 @@ DF_QUERIES = [
     "corpus_budget_by_source",
     "dsir_select",
     "ppl_trigram_score",
+    "ccnet_buckets_ppl",
     "dedup_incremental",
     "model_train_df",
     "conv_minhash_cc",

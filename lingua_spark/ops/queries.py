@@ -1077,6 +1077,88 @@ def ppl_score_df(
     return _attach_release(out, _release)
 
 
+def _ppl_buckets_tail(dialect: str, ppl_ref: str, cap: int = 1000) -> str:
+    """Head/middle/tail assignment over a per-doc perplexity relation
+    ``ppl_ref(doc_id, lang, avg_nll_fp)`` — the same sampled-tertile
+    shape as ``_ccnet_quality_buckets`` (cutoffs from a deterministic
+    md5-coin sample capped at ~{cap} docs/language, broadcast back; the
+    only sort anywhere runs over the sample), but ranked by the TRUE
+    trigram-LM perplexity instead of the stopword proxy."""
+    u = _sample_uniform_hex(dialect, "ccnetppl")
+    rate = f"least(1.0, CAST({cap} AS DOUBLE) / lc.n_lang)"
+    thr = _rate_threshold_hex(dialect, rate)
+    return f"""
+lc AS (
+  SELECT lang, count(*) AS n_lang FROM {ppl_ref} GROUP BY lang
+),
+samp AS (
+  SELECT /*+ BROADCAST(lc) */ p.doc_id, p.lang, p.avg_nll_fp
+  FROM {ppl_ref} p JOIN lc ON p.lang = lc.lang
+  WHERE lc.n_lang <= {cap} OR {u} < {thr}
+),
+ranked AS (
+  SELECT lang, avg_nll_fp,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_nll_fp, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN rn = greatest(CAST(ceil(n / 3.0) AS INT), 1)
+                  THEN avg_nll_fp END) AS cut_head,
+         max(CASE WHEN rn = greatest(CAST(ceil(2.0 * n / 3.0) AS INT), 1)
+                  THEN avg_nll_fp END) AS cut_middle
+  FROM ranked GROUP BY lang
+)
+SELECT /*+ BROADCAST(cuts) */ p.doc_id, p.lang, p.avg_nll_fp,
+       CASE WHEN p.avg_nll_fp <= c.cut_head THEN 'head'
+            WHEN p.avg_nll_fp <= c.cut_middle THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM {ppl_ref} p JOIN cuts c ON p.lang = c.lang
+"""
+
+
+def ccnet_buckets_ppl_oracle_sql(cap: int = 1000) -> str:
+    """DuckDB oracle: the full perplexity pipeline as a nested CTE plus
+    the same sampled-tertile tail (the sampling coin and cut values are
+    deterministic and integer/hex-exact, so the independent engine lands
+    on identical buckets)."""
+    return (
+        f"WITH ppl AS ({_ppl_trigram_score('duckdb')}),"
+        f"{_ppl_buckets_tail('duckdb', 'ppl')}"
+    )
+
+
+def ccnet_buckets_ppl(
+    spark: SparkSession, sf_dir: str, cap: int = 1000,
+    release_cache: bool = True,
+) -> DataFrame:
+    """CCNet bucketing by TRUE perplexity (round 5): head/middle/tail of
+    each language's trigram-LM NLL distribution. Composition of the two
+    canonical pieces: ``ppl_score_df`` materializes the per-doc score
+    table once (eager localCheckpoint — at production scale this is the
+    parquet metrics table a run would persist anyway), then the tail
+    references it three times (language counts, sample, assignment)
+    without re-running the two corpus passes; cutoffs come from the
+    capped md5-coin sample, so no per-language total order exists
+    anywhere. The SQL oracle is the same pipeline as one nested-CTE
+    query in DuckDB."""
+    import uuid
+
+    scores = ppl_score_df(spark, sf_dir, release_cache=True)
+    view = f"__ppl_scores_{uuid.uuid4().hex}"
+    scores.createOrReplaceTempView(view)
+    out = spark.sql(f"WITH {_ppl_buckets_tail('spark', view)[1:]}")
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(view)
+        return out
+    return _attach_release(
+        out, lambda: spark.catalog.dropTempView(view)
+    )
+
+
 SQL_QUERIES["model_train_ngrams"] = (
     _model_train_ngrams("spark"),
     _model_train_ngrams("duckdb"),

@@ -1637,6 +1637,29 @@ def test_ppl_score_df_matches_sql_form(spark):
     assert got.equals(want)
 
 
+def test_ccnet_buckets_ppl_tertiles_and_ordering(spark):
+    """ccnet_buckets_ppl: with every language under the sample cap the
+    cutoffs are exact, so buckets split each language into tertiles
+    (ceil boundaries) and are ORDERED — every head score <= every
+    middle score <= every tail score within a language."""
+    import math
+
+    from lingua_spark.ops.queries import ccnet_buckets_ppl
+
+    r = ccnet_buckets_ppl(spark, "/root/testdata/sf0.001").toPandas()
+    for lang, g in r.groupby("lang"):
+        n = len(g)
+        heads = g[g.bucket == "head"]
+        mids = g[g.bucket == "middle"]
+        tails = g[g.bucket == "tail"]
+        assert len(heads) == math.ceil(n / 3), (lang, n, len(heads))
+        assert len(heads) + len(mids) + len(tails) == n
+        if len(heads) and len(mids):
+            assert heads.avg_nll_fp.max() <= mids.avg_nll_fp.min()
+        if len(mids) and len(tails):
+            assert mids.avg_nll_fp.max() <= tails.avg_nll_fp.min()
+
+
 def test_turn_dedup_crossconv_invariants_on_corpus(spark):
     """turn_dedup_crossconv on the real table: one verdict per turn,
     keep == (share < 2), and every share agrees with an independent
