@@ -22,10 +22,16 @@ value per doc_id in both engines — ``-ln(-ln((h+1)/(2^32+1)))``).
 
 Scale shape (100 TB):
 
-1. ONE corpus pass builds BOTH distributions: the feature explode
-   (unigrams + bigrams, zip_with — no per-element lambda) feeds a
-   conditional aggregate groupBy(bucket) — 4096 rows out, map-side
-   combinable, the Zipf head absorbed by partial aggregation.
+1. ONE corpus pass builds the per-(doc_id, keep, bucket) occurrence
+   table ``occ`` (the feature explode — unigrams + bigrams via
+   zip_with, no per-element lambda — reduced by a map-side-combinable
+   groupBy) and ``occ`` is PERSISTED. Both distributions derive from
+   it: the 4096-row ``counts`` is one aggregate over the cache, never
+   a re-run of the explode. The plain SQL form of the same pipeline
+   (``dsir_keyed_sql`` — kept verbatim as the DuckDB oracle text)
+   re-inlines the ``feats`` CTE three times (occ + counts×2 via
+   tot/lam), i.e. three full corpus scans + explodes; the DF path here
+   (``dsir_keyed_df``) is the canonical engine shape with exactly one.
 2. The λ weight table is 4096 rows and is BROADCAST into the scoring
    join — the corpus-side explode never shuffles on the (maximally
    skewed) bucket key; the only corpus exchange is groupBy(doc_id).
@@ -159,6 +165,74 @@ FROM r
 """
 
 
+def dsir_keyed_df(spark: SparkSession):
+    """Single-explode DataFrame twin of ``dsir_keyed_sql`` — value- and
+    hash-identical (same fixed-point expressions via selectExpr), but
+    the corpus scan + feature explode runs EXACTLY ONCE: the
+    per-(doc_id, keep, bucket) aggregate ``occ`` is persisted and both
+    the 4096-row distribution table and the scoring join read the
+    cache. The SQL form re-inlines the ``feats`` CTE three times
+    (Spark has no CTE materialization), which at 100 TB is two
+    redundant full-corpus tokenize+md5 passes.
+
+    Returns ``(keyed, caches)`` where ``caches`` is the list of
+    persisted DataFrames the caller must unpersist once ``keyed`` is
+    materialized (or released via its own handle)."""
+    from pyspark import StorageLevel
+
+    from .classifier import _labeled
+    from .queries import _word_ngrams
+
+    labeled = spark.sql(
+        f"SELECT doc_id, keep, t FROM ({_labeled('spark')}) L"
+        " WHERE greatest(coalesce(size(t), 0), 0) > 0"
+    )
+    feats = labeled.select(
+        "doc_id",
+        "keep",
+        F.expr(
+            f"explode(concat(t, {_word_ngrams('spark', 't', 2)}))"
+        ).alias("g"),
+    ).select("doc_id", "keep", F.expr(_bucket("md5(g)")).alias("b"))
+    occ = (
+        feats.groupBy("doc_id", "keep", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # 4096 rows; persisted because λ reads it twice (directly + via the
+    # totals) — without the pin that double-read would re-aggregate occ
+    counts = (
+        occ.groupBy("b")
+        .agg(
+            F.sum("c").cast("long").alias("raw_n"),
+            F.sum(F.when(F.col("keep"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tgt_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = counts.agg(
+        F.sum("raw_n").alias("r_tot"), F.sum("tgt_n").alias("t_tot")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        f"CAST(floor((ln((tgt_n + 1.0) / (t_tot + {N_BUCKETS}))"
+        f" - ln((raw_n + 1.0) / (r_tot + {N_BUCKETS})))"
+        f" * {FP_SCALE}.0) AS BIGINT) AS w_fp",
+    )
+    z = (
+        occ.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w_fp")).cast("long").alias("z_fp"))
+    )
+    keyed = z.selectExpr(
+        "doc_id",
+        "z_fp",
+        f"CAST(z_fp + {_gumbel_fp('spark')} AS BIGINT) AS sample_key_fp",
+    )
+    return keyed, [occ, counts]
+
+
 def dsir_select(
     spark: SparkSession, sf_dir: str, keep_frac_den: int = 4,
     release_cache: bool = True,
@@ -168,17 +242,16 @@ def dsir_select(
     resample. Distributed top-k per the module docstring: coarse
     histogram -> driver prefix-scan -> only the boundary coarse bucket
     is range-partitioned + window-ranked with driver offsets. ``keyed``
-    (the corpus scan + feature explode + scoring join) is persisted so
-    the expensive subtree runs ONCE across the histogram collect and
-    both output branches."""
+    comes from ``dsir_keyed_df`` (corpus explode evaluated ONCE behind
+    a persisted aggregate) and is itself persisted so the scoring join
+    runs once across the histogram collect and both output branches."""
     from pyspark import StorageLevel
 
     from .queries import register_views
 
     register_views(spark, sf_dir)
-    keyed = spark.sql(dsir_keyed_sql("spark")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed, inner_caches = dsir_keyed_df(spark)
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     cb = F.floor(F.col("sample_key_fp") / F.lit(float(COARSE))).cast("long")
     hist = keyed.groupBy(cb.alias("cb")).count().collect()
     n = sum(r["count"] for r in hist)
@@ -207,12 +280,17 @@ def dsir_select(
             from .queries import _attach_release
 
             return _attach_release(
-                out, lambda: keyed.unpersist(blocking=False)
+                out,
+                lambda: [
+                    d.unpersist(blocking=False)
+                    for d in [keyed, *inner_caches]
+                ],
             )
         try:
             return out.localCheckpoint(eager=True)
         finally:
-            keyed.unpersist(blocking=False)
+            for d in [keyed, *inner_caches]:
+                d.unpersist(blocking=False)
 
     rest = tagged.filter(F.col("cb") != boundary).withColumn(
         "keep", F.col("cb") > F.lit(boundary)
@@ -260,13 +338,13 @@ def dsir_select(
 
         return _attach_release(
             out,
-            lambda: (
-                bucket.unpersist(blocking=False),
-                keyed.unpersist(blocking=False),
-            ),
+            lambda: [
+                d.unpersist(blocking=False)
+                for d in [bucket, keyed, *inner_caches]
+            ],
         )
     try:
         return out.localCheckpoint(eager=True)
     finally:
-        bucket.unpersist(blocking=False)
-        keyed.unpersist(blocking=False)
+        for d in [bucket, keyed, *inner_caches]:
+            d.unpersist(blocking=False)

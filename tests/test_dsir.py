@@ -84,6 +84,74 @@ def test_dsir_degenerate_corpus_both_dialects(spark):
     assert list(sdf.columns) == ["doc_id", "z_fp", "sample_key_fp"]
 
 
+def test_dsir_keyed_df_matches_sql(spark, keyed):
+    """The canonical single-explode DataFrame twin is value-identical
+    to the SQL keyed form (which is the DuckDB oracle's definition)."""
+    from lingua_spark.ops.dsir import dsir_keyed_df
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    df, caches = dsir_keyed_df(spark)
+    try:
+        got = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+    want = keyed.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "z_fp", "sample_key_fp"]],
+        want[["doc_id", "z_fp", "sample_key_fp"]],
+    )
+
+
+def _leaf_names(df):
+    plan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+        plan = plan.initialPlan()
+    leaves = plan.collectLeaves()
+    return [
+        leaves.apply(i).getClass().getSimpleName()
+        for i in range(leaves.size())
+    ]
+
+
+def test_dsir_df_single_corpus_pass(spark):
+    """Plan gate for the round-4 CTE-re-inlining class of defect: the
+    SQL keyed form re-inlines the corpus explode THREE times (occ +
+    counts via tot and lam — three FileSourceScan leaves); the
+    canonical DF twin must read the corpus from parquet exactly once
+    (inside the persisted occ aggregate) — every leaf of its executed
+    plan is an InMemoryTableScan, never a file scan."""
+    from lingua_spark.ops.dsir import dsir_keyed_df, dsir_keyed_sql
+    from lingua_spark.ops.queries import register_views
+
+    register_views(spark, SF)
+    sql_leaves = _leaf_names(spark.sql(dsir_keyed_sql("spark")))
+    assert (
+        sum("FileSourceScan" in n or "BatchScan" in n for n in sql_leaves)
+        == 3
+    )
+
+    df, caches = dsir_keyed_df(spark)
+    try:
+        df.count()  # materialize the caches so leaves are cache scans
+        leaves = _leaf_names(df)
+        assert leaves, "plan has no leaves?"
+        assert all("InMemoryTableScan" in n for n in leaves), leaves
+        # the one real corpus pass: occ is a SINGLE InMemoryRelation
+        # (its toString prints the cached plan twice — logical +
+        # physical repr of the same relation — so count relations, not
+        # Generate/FileScan lines)
+        occ_str = caches[0]._jdf.queryExecution().executedPlan().toString()
+        assert occ_str.count("InMemoryRelation") == 1
+        assert _leaf_names(caches[0]) == ["InMemoryTableScanExec"]
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+
+
 def test_dsir_lambda_table_is_broadcast(spark):
     """Plan gate: the scoring join builds the 4096-row λ table as a
     BroadcastExchange — the corpus-side feature explode must never
