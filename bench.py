@@ -45,6 +45,7 @@ HEADLINE_QUERIES = [
     "tfidf_top_terms",
     "dedup_fingerprint_pairs_sql",
     "gopher_quality",
+    "gopher_repetition",
     "decontaminate_ngram",
     "conv_dedup_exact",
     "sample_stratified_lang",

@@ -1505,6 +1505,110 @@ FROM tstat t LEFT JOIN bstat b ON t.doc_id = b.doc_id
 """
 
 
+def _gopher_repetition(dialect: str) -> str:
+    """Gopher repetition-removal metric family (Rae et al. 2021 §A1.1,
+    public paper) — the half ``gopher_quality`` doesn't cover: per-doc
+    top-n-gram character fraction for n=2..4 and duplicate-n-gram
+    character fraction for n=5..10, plus the combined keep flag at the
+    published thresholds (top: 0.20/0.18/0.16; dup: 0.15 down to 0.10).
+    Deterministic variant, documented vs the paper: "top" is the gram
+    maximizing count × nonspace-chars (the paper's count-top gram is
+    ambiguous under count ties), "dup" counts nonspace chars of
+    occurrences beyond the first (an overlap-counting upper bound on the
+    paper's covered-position fraction), and the character base is the
+    doc's nonspace token mass. The keep flag compares exact integer
+    cross-multiplications — no float thresholds in the gate, so the
+    verdict is immune to rounding.
+
+    Scale shape: ONE nested-transform explode emits all TEN n values
+    tagged (n, gram) — unigrams included, so the per-doc character base
+    is Σ c·len over the n=1 rows and the whole query is ONE corpus scan
+    with no join back to a token base (vs gopher_quality's two explode
+    subtrees) — then a map-side-combinable (doc, n, gram) count, a
+    (doc, n) aggregate, and a 10-way conditional-aggregation pivot. No
+    windows, no joins. Docs with ZERO tokens (empty/whitespace text)
+    emit no row — they have no unigram; every ≥1-token doc appears,
+    with all-zero fractions when shorter than every gated n."""
+    toks = _tokens(dialect)
+    if dialect == "spark":
+        structs = ",\n      ".join(
+            "transform("
+            + (_word_ngrams("spark", "t", n) if n > 1 else "t")
+            + f", x -> named_struct('n', {n}, 'gram', x))"
+            for n in range(1, 11)
+        )
+        base = f"""
+exploded AS (
+  SELECT doc_id, inline(gs) FROM (
+    SELECT doc_id, concat(
+      {structs}) AS gs
+    FROM (SELECT doc_id, {toks} AS t FROM documents))
+)"""
+    else:
+        arms = "\n  UNION ALL ".join(
+            f"SELECT doc_id, {n} AS n, unnest("
+            + (_word_ngrams("duckdb", "t", n) if n > 1 else "t")
+            + ") AS gram FROM tok"
+            for n in range(1, 11)
+        )
+        base = f"""
+tok AS (SELECT doc_id, {toks} AS t FROM documents),
+exploded AS (
+  {arms}
+)"""
+    top_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN top_mass END) AS t{n}" for n in (2, 3, 4)
+    )
+    dup_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dup_mass END) AS d{n}"
+        for n in range(5, 11)
+    )
+    frac_cols = ",\n       ".join(
+        f"round(CAST(coalesce(p.t{n}, 0) AS DOUBLE) / greatest(p.chars, 1), 4)"
+        f" AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_frac_cols = ",\n       ".join(
+        f"round(CAST(coalesce(p.d{n}, 0) AS DOUBLE) / greatest(p.chars, 1), 4)"
+        f" AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    # published thresholds ×100: top 20/18/16, dup 15/14/13/12/11/10
+    gate = " AND ".join(
+        [f"coalesce(p.t{n}, 0) * 100 <= p.chars * {t}"
+         for n, t in ((2, 20), (3, 18), (4, 16))]
+        + [f"coalesce(p.d{n}, 0) * 100 <= p.chars * {t}"
+           for n, t in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))]
+    )
+    return f"""
+WITH {base},
+cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c
+  FROM exploded GROUP BY doc_id, n, gram
+),
+stat AS (
+  SELECT doc_id, n,
+         max(c * (length(gram) - n + 1)) AS top_mass,
+         sum(CASE WHEN c > 1 THEN (c - 1) * (length(gram) - n + 1)
+                  ELSE 0 END) AS dup_mass,
+         sum(c * (length(gram) - n + 1)) AS tot_mass
+  FROM cnt GROUP BY doc_id, n
+),
+piv AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN n = 1 THEN tot_mass END) AS BIGINT) AS chars,
+         {top_cols}, {dup_cols}
+  FROM stat GROUP BY doc_id
+)
+SELECT p.doc_id,
+       p.chars AS n_chars_tok,
+       {frac_cols},
+       {dup_frac_cols},
+       CAST({gate} AS BOOLEAN) AS keep_repetition
+FROM piv p
+"""
+
+
 def _decontaminate(dialect: str, n: int = 4, eval_mod: int = 97) -> str:
     """Benchmark decontamination by word-n-gram overlap — the standard
     eval-leak filter of a training-data pipeline (GPT-3 appendix C /
@@ -2433,6 +2537,10 @@ SQL_QUERIES["token_count_bpe"] = (
 SQL_QUERIES["gopher_quality"] = (
     _gopher_quality("spark"),
     _gopher_quality("duckdb"),
+)
+SQL_QUERIES["gopher_repetition"] = (
+    _gopher_repetition("spark"),
+    _gopher_repetition("duckdb"),
 )
 SQL_QUERIES["decontaminate_ngram"] = (
     _decontaminate("spark"),

@@ -3373,3 +3373,97 @@ def test_conv_lang_consistency_hand_corpus(spark):
         .sort_index()
     )
     assert want.equals(got.astype(want.dtypes.to_dict()))
+
+
+def test_gopher_repetition_brute_force(spark):
+    """gopher_repetition vs a pure-Python reference on crafted docs
+    covering every branch: all-one-token spam (top-gram gate fires),
+    fully unique text (all-zero fractions), a twice-repeated 6-token
+    phrase (dup-gram mass at n=5,6), a 2-token doc (only bigrams exist),
+    a 1-token doc (zero fractions, gate passes) and an empty doc (no
+    unigram -> emits no row at all)."""
+    from collections import Counter
+
+    from lingua_spark.ops.queries import SQL_QUERIES
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        # unique text must be LONG to pass: even with every count == 1
+        # the top n-gram covers ~n/n_tokens of the chars (same property
+        # as the paper's count-top definition -- the gate targets long
+        # web docs), so 40 unique tokens keeps top-4 at 0.10 <= 0.16
+        (2, " ".join(f"w{i:02d}" for i in range(40))),
+        (3, "one two three four five six pad one two three four five six"),
+        (4, "a b"),
+        (5, "solo"),
+        (6, ""),
+    ]
+
+    def ref(text):
+        t = [x for x in text.lower().strip().split(" ") if x]
+        chars = sum(len(x) for x in t)
+        masses = {}
+        for n in range(2, 11):
+            c = Counter(
+                " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+            )
+            masses[f"t{n}"] = max(
+                (k * (len(g) - n + 1) for g, k in c.items()), default=0
+            )
+            masses[f"d{n}"] = sum(
+                (k - 1) * (len(g) - n + 1) for g, k in c.items() if k > 1
+            )
+        return chars, masses
+
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = (
+        spark.sql(SQL_QUERIES["gopher_repetition"][0])
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tops = {2: 20, 3: 18, 4: 16}
+    dups = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+    assert 6 not in got.index  # the empty doc has no unigram -> no row
+    for doc_id, text in rows:
+        chars, m = ref(text)
+        if chars == 0:
+            continue
+        r = got.loc[doc_id]
+        assert r.n_chars_tok == chars
+        for n in tops:
+            assert r[f"top_{n}gram_char_frac"] == round(
+                m[f"t{n}"] / max(chars, 1), 4
+            ), (doc_id, n)
+        for n in dups:
+            assert r[f"dup_{n}gram_char_frac"] == round(
+                m[f"d{n}"] / max(chars, 1), 4
+            ), (doc_id, n)
+        want_keep = all(
+            m[f"t{n}"] * 100 <= chars * t for n, t in tops.items()
+        ) and all(m[f"d{n}"] * 100 <= chars * t for n, t in dups.items())
+        assert bool(r.keep_repetition) == want_keep, doc_id
+    # branch sanity: the spam doc fails the gate, unique text passes with
+    # all-zero dup mass, the phrase doc carries dup mass at n=5 and n=6
+    assert not got.loc[1, "keep_repetition"]
+    assert got.loc[2, "keep_repetition"]
+    assert got.loc[2, "dup_5gram_char_frac"] == 0.0
+    assert got.loc[3, "dup_6gram_char_frac"] > 0
+    assert got.loc[5, "keep_repetition"]  # 1-token doc: all-zero fractions
+
+
+def test_gopher_repetition_plan_one_scan_no_join(spark):
+    """Plan gate: folding the n=1 unigrams into the gram explode makes
+    the whole metric family ONE corpus scan with no join back to a
+    token base (the character denominator is the n=1 tot_mass) -- at
+    100 TB the second text scan of the LEFT-JOIN shape is the cost."""
+    from lingua_spark.ops.queries import SQL_QUERIES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql(SQL_QUERIES["gopher_repetition"][0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
