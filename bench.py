@@ -45,7 +45,7 @@ HEADLINE_QUERIES = [
     "tfidf_top_terms",
     "dedup_fingerprint_pairs_sql",
     "gopher_quality",
-    "gopher_repetition",
+    "gopher_repetition_sql",
     "decontaminate_ngram",
     "conv_dedup_exact",
     "sample_stratified_lang",
@@ -80,6 +80,7 @@ HEADLINE_QUERIES = [
 # per-round counts, jaccard_df materializes via localCheckpoint).
 DF_QUERIES = [
     "dedup_jaccard_pairs_df",
+    "gopher_repetition",
     "dedup_minhash_cc",
     "corpus_select_final",
     "conv_stats_salted",

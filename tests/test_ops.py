@@ -3419,7 +3419,7 @@ def test_gopher_repetition_brute_force(spark):
         "documents"
     )
     got = (
-        spark.sql(SQL_QUERIES["gopher_repetition"][0])
+        spark.sql(SQL_QUERIES["gopher_repetition_sql"][0])
         .toPandas()
         .set_index("doc_id")
         .sort_index()
@@ -3462,8 +3462,66 @@ def test_gopher_repetition_plan_one_scan_no_join(spark):
     from lingua_spark.ops.queries import SQL_QUERIES, register_views
 
     register_views(spark, "/root/testdata/sf0.001")
-    df = spark.sql(SQL_QUERIES["gopher_repetition"][0])
+    df = spark.sql(SQL_QUERIES["gopher_repetition_sql"][0])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_gopher_repetition_df_parity_and_plan(spark):
+    """The canonical mapInPandas twin is value-identical to the SQL form
+    (pandas equals at sf0.001) and its plan is the zero-shuffle shape:
+    one scan, no Exchange, no Join -- the metric is doc-local, so ANY
+    exchange would be waste at 100 TB."""
+    from lingua_spark.ops.queries import (
+        SQL_QUERIES,
+        gopher_repetition_df,
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = (
+        gopher_repetition_df(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.sql(SQL_QUERIES["gopher_repetition_sql"][0])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    plan = (
+        gopher_repetition_df(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_gopher_rep_masses_pure_function():
+    """The mass helper standalone: empty and zero-token docs emit no
+    row; a doc of one repeated token has dup mass (c-1)*len at every n
+    it can fill; masses are exact integers."""
+    import pandas as pd
+
+    from lingua_spark.ops.queries import _gopher_rep_masses
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["x x x x x", "", "a b c"]}
+    )
+    out = _gopher_rep_masses(pdf).set_index("doc_id")
+    assert list(out.index) == [1, 3]
+    # doc 1: five 'x' tokens, chars=5; bigrams "x x" x4 -> top=4*2=8,
+    # dup=(4-1)*2=6; 5-grams: one occurrence -> top=5, dup=0
+    assert out.loc[1, "chars"] == 5
+    assert out.loc[1, "t2"] == 8
+    assert out.loc[1, "d5"] == 0
+    # doc 3: all unique -> top masses = gram char length, dup = 0
+    assert out.loc[3, "t2"] == 2 and out.loc[3, "d5"] == 0
