@@ -3415,6 +3415,9 @@ def test_gopher_repetition_brute_force(spark):
             )
         return chars, masses
 
+    from lingua_spark.ops.queries import register_sql_udfs
+
+    register_sql_udfs(spark)  # the Spark form runs the registered kernel
     spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
         "documents"
     )
