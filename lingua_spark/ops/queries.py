@@ -119,6 +119,26 @@ def _minhash_sig(
         f"md5({'s' if d == 0 else repr('~' * d) + ' || s'}) AS m{d}"
         for d in range(n_digests)
     )
+    if dialect == "spark" and n_hashes == 8:
+        # registered Arrow kernel (see _make_minhash_sig_udf): cleaning
+        # stays the JVM regex; the kernel slices shingles, memoizes the
+        # two md5 digests per DISTINCT shingle across the whole task
+        # (Zipf vocabulary -> high hit rate) and returns the 8 lane
+        # minima directly. One corpus scan, no per-occurrence string
+        # churn; measured 4.9 -> 1.x s at sf0.1 for the bare signature
+        # vs the explode + 2-md5/occurrence expression chain.
+        # GROUP BY stays: the conversation path presents one row per
+        # TURN under a shared key and the signature is the min over the
+        # UNION of turn shingle sets — min of per-row minima. For the
+        # document path the groups are singletons and the aggregate is
+        # map-side trivial.
+        lanes = ", ".join(f"min(s.h{i}) AS h{i}" for i in range(1, 9))
+        return (
+            f"SELECT doc_id, {lanes} FROM ("
+            f"SELECT doc_id, lingua_minhash_sig(c, {k}) AS s"
+            f" FROM (SELECT doc_id, {c} AS c FROM {src})"
+            f" {nonempty}) GROUP BY doc_id"
+        )
     if dialect == "spark":
         shingled = (
             f"SELECT doc_id, {digests} FROM (SELECT doc_id, explode({sh})"
@@ -1771,19 +1791,81 @@ def _make_gopher_masses_udf():
     return pandas_udf(lingua_gopher_masses, schema).asNondeterministic()
 
 
+def _make_minhash_sig_udf():
+    """Arrow-batched scalar pandas UDF ``lingua_minhash_sig(c, k)`` ->
+    struct<h1..h8 string>: the 8 MinHash lane minima over the k-char
+    shingles of the ALREADY-CLEANED text ``c`` (cleaning stays a JVM
+    regex — this kernel only slices and hashes, so there is no
+    Java-vs-Python regex parity surface). Exactly the SQL definition:
+    two md5 digests per DISTINCT shingle ('' and '~' salt), each 32-hex
+    digest cut into four 8-hex lanes, min per lane; min over the
+    distinct shingle set equals min over the multiset, so the in-doc
+    dedup is a pure optimization. hashlib.md5 is OpenSSL; the win over
+    the JVM expression chain is the CROSS-DOC shingle memo (Zipfian
+    shingle vocabulary — boilerplate shingles hash once per task, not
+    once per occurrence) plus skipping 10 per-occurrence string
+    allocations. Python str slicing and min() are code-point /
+    bytewise-ASCII semantics, identical to Spark substring/min on hex."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    schema = ", ".join(f"h{i} string" for i in range(1, 9))
+
+    def lingua_minhash_sig(texts, ks):
+        cache: dict[str, tuple] = {}
+        out = []
+        for c, k in zip(texts, ks):
+            k = int(k)
+            seen = set()
+            mins = None
+            for i in range(max(len(c) - k + 1, 1)):
+                s = c[i : i + k]
+                if s in seen:
+                    continue
+                seen.add(s)
+                lanes = cache.get(s)
+                if lanes is None:
+                    b = s.encode("utf-8")
+                    d0 = hashlib.md5(b).hexdigest()
+                    d1 = hashlib.md5(b"~" + b).hexdigest()
+                    lanes = (
+                        d0[0:8], d0[8:16], d0[16:24], d0[24:32],
+                        d1[0:8], d1[8:16], d1[16:24], d1[24:32],
+                    )
+                    cache[s] = lanes
+                if mins is None:
+                    mins = list(lanes)
+                else:
+                    for j in range(8):
+                        if lanes[j] < mins[j]:
+                            mins[j] = lanes[j]
+            out.append(tuple(mins))
+        return pd.DataFrame(out, columns=[f"h{i}" for i in range(1, 9)])
+
+    lingua_minhash_sig.__annotations__ = {
+        "texts": pd.Series,
+        "ks": pd.Series,
+        "return": pd.DataFrame,
+    }
+    return pandas_udf(lingua_minhash_sig, schema).asNondeterministic()
+
+
 def register_sql_udfs(spark: SparkSession) -> None:
     """Register the SQL-callable vectorized kernels used by registry
-    Spark SQL texts (currently ``lingua_gopher_masses``). Idempotent per
-    SparkSession; called from ``register_views`` so every path that runs
-    registry SQL (driver contract, bench.py, validate_oracles) has them.
-    The DuckDB oracle texts never reference these — they are Spark-side
-    implementation detail only."""
+    Spark SQL texts (``lingua_gopher_masses``, ``lingua_minhash_sig``).
+    Idempotent per SparkSession; called from ``register_views`` so every
+    path that runs registry SQL (driver contract, bench.py,
+    validate_oracles) has them. The DuckDB oracle texts never reference
+    these — they are Spark-side implementation detail only."""
     if getattr(spark, "_lingua_sql_udfs_registered", False):
         return
     from ..engine.udfs import ship_package
 
     ship_package(spark)
     spark.udf.register("lingua_gopher_masses", _make_gopher_masses_udf())
+    spark.udf.register("lingua_minhash_sig", _make_minhash_sig_udf())
     spark._lingua_sql_udfs_registered = True
 
 
