@@ -910,7 +910,8 @@ def _model_train_ngrams(dialect: str, max_n: int = 5) -> str:
     machinery. Bit-parity with train_models is pinned by pytest.
 
     Scale shape: ONE scan; every n-gram of every length is emitted from
-    a single nested-transform explode (no per-n corpus rescan); counts
+    a single letter-run slicing pass (``_model_train_counts_sql``, no
+    per-n corpus rescan); counts
     are a (lang, n, ngram)-keyed groupBy — map-side partial aggregation
     absorbs the Zipfian head ('e', 'th') before the exchange, so hot
     n-grams never concentrate raw rows on a reducer. The denominator
@@ -925,18 +926,33 @@ def _model_train_ngrams(dialect: str, max_n: int = 5) -> str:
 
 def _model_train_counts_sql(dialect: str, max_n: int = 5) -> str:
     """(lang, n, ngram) -> count over every letter-only n-gram of the
-    cleaned corpus, n = 1..{max_n}, all lengths from ONE nested-
-    transform explode (no per-n corpus rescan)."""
+    cleaned corpus, n = 1..{max_n}, all lengths from ONE corpus scan
+    (no per-n rescan).
+
+    Spark shape (round 6): the text is split ONCE per doc into maximal
+    LETTER RUNS (``split(c, '[^\\p{L}]+')``) and the n-grams are sliced
+    from the runs by chained LATERAL VIEW explodes over integer
+    sequences — an n-gram of c is all-letters iff it lies inside a
+    letter run, so this is value-identical to hashing every position
+    and filtering ``g rlike '^\\p{L}+$'`` (asserted bit-identical at
+    sf0.1), but it replaces the per-GRAM regex with one per-DOC split
+    and replaces the interpreted nested-transform struct-array build
+    (higher-order functions are CodegenFallback) with codegen-friendly
+    Generate + substring. Measured 8.9 -> 0.6 s at sf0.1 for the bare
+    counts aggregate."""
     c = _cleaned(dialect)
     if dialect == "spark":
-        grams = (
-            "explode(flatten(transform(sequence(1, MAXN), n ->"
-            " CASE WHEN length(c) >= n THEN"
-            " transform(sequence(1, length(c) - n + 1),"
-            " i -> struct(n AS n, substring(c, i, n) AS g))"
-            " ELSE array() END)))"
-        ).replace("MAXN", str(max_n))
-        letter = "g rlike '^[\\\\p{L}]+$'"
+        return f"""
+SELECT lang, n, g, count(*) AS c FROM (
+  SELECT lang, n, substring(r, i, n) AS g
+  FROM (SELECT lang, coalesce({c}, '') AS c FROM documents)
+  LATERAL VIEW explode(split(c, '[^\\\\p{{L}}]+')) rt AS r
+  LATERAL VIEW explode(sequence(1, {max_n})) ns AS n
+  LATERAL VIEW explode(CASE WHEN length(r) >= n
+                            THEN sequence(1, length(r) - n + 1)
+                            ELSE array() END) ps AS i
+) x GROUP BY lang, n, g
+"""
     else:
         grams = (
             "unnest(flatten(list_transform(range(1, MAXN + 1), n ->"
@@ -1017,17 +1033,42 @@ def _ppl_trigram_score(dialect: str) -> str:
 
 def _ppl_final_sql(dialect: str, counts_ref: str) -> str:
     """Scoring tail of ``_ppl_trigram_score`` over a counts relation —
-    split out so ``ppl_score_df`` can aim it at a PERSISTED counts view
-    (the pure-SQL form's twice-referenced counts CTE is inlined by
-    Spark into two training explodes; the DF twin runs it once)."""
+    split out so ``ppl_score_df`` can aim it at a PERSISTED counts view.
+
+    Round-6 Spark shape, two changes (results bit-identical, asserted):
+
+    - ``model`` references the counts relation ONCE: the trigram/bigram
+      ratio join became a window — among n IN (2,3) rows partitioned by
+      (lang, 2-char prefix), the single n=2 row IS the denominator of
+      every n=3 row in its partition (every trigram's prefix bigram
+      exists by construction, so the former inner join was total). The
+      pure-SQL form previously inlined the counts CTE twice with n=3 /
+      n=2 filters pushed into each copy — two full training explodes;
+      now one. The window shuffles only the M-sized aggregate.
+    - ``doctri`` slices trigrams from letter RUNS (one split per doc)
+      instead of hashing every position and regex-filtering every gram,
+      same rewrite as ``_model_train_counts_sql``.
+    """
     c = _cleaned(dialect)
     if dialect == "spark":
-        tri = (
-            "explode(CASE WHEN length(c) >= 3 THEN"
-            " transform(sequence(1, length(c) - 2),"
-            " i -> substring(c, i, 3)) ELSE array() END)"
-        )
-        letter = "g rlike '^[\\\\p{L}]+$'"
+        model = f"""
+  SELECT lang, g, CAST(floor(ln(CAST(c AS DOUBLE) / c2) * 1000000.0)
+                       AS BIGINT) AS w_fp
+  FROM (
+    SELECT lang, n, g, c,
+           max(CASE WHEN n = 2 THEN c END)
+             OVER (PARTITION BY lang, substring(g, 1, 2)) AS c2
+    FROM {counts_ref} WHERE n IN (2, 3)
+  ) mw WHERE n = 3
+"""
+        doctri = f"""
+  SELECT doc_id, lang, substring(r, i, 3) AS g
+  FROM (SELECT doc_id, lang, coalesce({c}, '') AS c FROM documents) dc
+  LATERAL VIEW explode(split(c, '[^\\\\p{{L}}]+')) rt AS r
+  LATERAL VIEW explode(CASE WHEN length(r) >= 3
+                            THEN sequence(1, length(r) - 2)
+                            ELSE array() END) ps AS i
+"""
         idiv = "DIV"
         hint = "/*+ BROADCAST(m) */ "
     else:
@@ -1037,23 +1078,25 @@ def _ppl_final_sql(dialect: str, counts_ref: str) -> str:
             " i -> substring(c, i::INT, 3)) ELSE [] END)"
         )
         letter = "regexp_matches(g, '^\\p{L}+$')"
-        idiv = "//"
-        hint = ""
-    return f""",
-model AS (
+        model = f"""
   SELECT c3.lang, c3.g,
          CAST(floor(ln(CAST(c3.c AS DOUBLE) / c2.c) * 1000000.0)
               AS BIGINT) AS w_fp
   FROM {counts_ref} c3 JOIN {counts_ref} c2
     ON c3.n = 3 AND c2.n = 2 AND c2.lang = c3.lang
    AND c2.g = substring(c3.g, 1, 2)
-),
-doctri AS (
+"""
+        doctri = f"""
   SELECT doc_id, lang, g FROM (
     SELECT doc_id, lang, {tri} AS g FROM
       (SELECT doc_id, lang, coalesce({c}, '') AS c FROM documents) dc
   ) dt WHERE {letter}
-)
+"""
+        idiv = "//"
+        hint = ""
+    return f""",
+model AS ({model}),
+doctri AS ({doctri})
 SELECT {hint}d.doc_id, d.lang,
        CAST(count(*) AS BIGINT) AS n_trigrams,
        CAST(-sum(m.w_fp) AS BIGINT) AS nll_fp,
