@@ -314,12 +314,25 @@ def _jaccard_pairs(dialect: str) -> str:
     re-evaluation is a pruned 2-column scan + codegen explode."""
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", 4)
-    ex = "explode" if dialect == "spark" else "unnest"
+    if dialect == "spark":
+        # round 6: shingles sliced via LATERAL VIEW explode over an
+        # integer sequence + substring (codegen) instead of the
+        # interpreted higher-order transform array build — value-
+        # identical (incl. the [NULL]-shingle degenerate row for NULL
+        # cleaned text), measured 9.7 -> 3.7 s for this query at sf0.1
+        shq = (
+            f"SELECT DISTINCT doc_id, substring(c, i, 4) AS s"
+            f" FROM (SELECT doc_id, {c} AS c FROM documents)"
+            " LATERAL VIEW explode(sequence(1, greatest(length(c) - 3, 1)))"
+            " pos AS i"
+        )
+    else:
+        shq = (
+            f"SELECT DISTINCT doc_id, unnest({sh}) AS s"
+            f" FROM (SELECT doc_id, {c} AS c FROM documents)"
+        )
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, {ex}({sh}) AS s
-  FROM (SELECT doc_id, {c} AS c FROM documents)
-),
+WITH sh AS ({shq}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 rare AS (
   SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20
@@ -485,9 +498,13 @@ def jaccard_pairs_df(
 
     register_views(spark, sf_dir)
     c = _cleaned("spark")
+    # same lateral-explode shingle slicing as the SQL form (round 6):
+    # codegen Generate + substring instead of the interpreted HOF array
     sh = spark.sql(
-        f"SELECT DISTINCT doc_id, explode({_shingles('spark', 'c', 4)}) AS s"
+        f"SELECT DISTINCT doc_id, substring(c, i, 4) AS s"
         f" FROM (SELECT doc_id, {c} AS c FROM documents)"
+        " LATERAL VIEW explode(sequence(1, greatest(length(c) - 3, 1)))"
+        " pos AS i"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
@@ -1381,18 +1398,13 @@ def _fingerprint_winnow(dialect: str, k: int = 5, w: int = 4) -> str:
     window's shrinking frame."""
     c = _cleaned(dialect)
     if dialect == "spark":
+        # round 6: the per-row array winnow (two HOF transforms + one
+        # md5 per POSITION, all CodegenFallback) is replaced by the
+        # registered memoizing Arrow kernel (_make_winnow_udf) — same
+        # definition, md5 computed once per DISTINCT shingle per task
         return f"""
-WITH hs AS (
-  SELECT doc_id,
-         transform(sequence(1, greatest(length(c) - {k - 1}, 1)),
-                   i -> md5(substring(c, i, {k}))) AS hs
-  FROM (SELECT doc_id, {c} AS c FROM documents)
-)
-SELECT doc_id,
-       explode(array_distinct(
-         transform(sequence(1, size(hs)),
-                   j -> array_min(slice(hs, j, {w}))))) AS fingerprint
-FROM hs
+SELECT doc_id, explode(lingua_winnow(c, {k}, {w})) AS fingerprint
+FROM (SELECT doc_id, {c} AS c FROM documents)
 """
     shingled = (
         f"SELECT doc_id, i AS pos, md5(substring(c, i::INT, {k})) AS h"
@@ -1462,8 +1474,42 @@ def _fingerprint_neardup_pairs(dialect: str, min_common: int = 3) -> str:
     inverted (fingerprint -> docs) index with hot fingerprints dropped
     (df <= 20 — a fingerprint shared by more docs is boilerplate and
     still recovered through its rarer neighbors), same prefix-filter
-    pattern as the rare-shingle jaccard join."""
+    pattern as the rare-shingle jaccard join.
+
+    Round-6 Spark shape: pairs come from bounded per-fingerprint
+    BUCKETS (df-prefilter -> semi-join -> collect_list of <= 20 ids ->
+    JVM nested-transform pair expansion — the ``fingerprint_pairs_df``
+    shape) instead of the E-sized rfp self-join: one fewer corpus-sized
+    join side and the agg buffers stay bounded by the prefilter. The
+    DuckDB oracle keeps the classic relational self-join — results are
+    identical (asserted exceptAll-empty at sf0.1 vs the old Spark
+    form)."""
     winnow = _fingerprint_winnow(dialect)
+    if dialect == "spark":
+        return f"""
+WITH fp AS ({winnow}),
+sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint
+  HAVING count(*) BETWEEN 2 AND 20
+),
+buckets AS (
+  SELECT sort_array(collect_list(fp.doc_id)) AS ids
+  FROM fp JOIN rare ON fp.fingerprint = rare.fingerprint
+  GROUP BY fp.fingerprint
+),
+pairs AS (
+  SELECT p.a AS doc_a, p.b AS doc_b, count(*) AS common_fp
+  FROM (SELECT explode({_BUCKET_PAIR_EXPR}) AS p FROM buckets)
+  GROUP BY p.a, p.b HAVING count(*) >= {min_common}
+)
+SELECT p.doc_a, p.doc_b, p.common_fp,
+       round(CAST(p.common_fp AS DOUBLE) / least(sa.n, sb.n), 4)
+         AS overlap
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+"""
     return f"""
 WITH fp AS ({winnow}),
 sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
@@ -1895,6 +1941,52 @@ def _make_minhash_sig_udf():
     return pandas_udf(lingua_minhash_sig, schema).asNondeterministic()
 
 
+def _make_winnow_udf():
+    """Arrow-batched scalar pandas UDF ``lingua_winnow(c, k, w)`` ->
+    array<string>: the DISTINCT winnowing fingerprints (window minima of
+    per-position shingle md5s) of the ALREADY-CLEANED text ``c`` —
+    exactly the array-form SQL definition in ``_fingerprint_winnow``
+    (md5 every k-shingle, min over each w-window incl. shrinking tail
+    windows, dedup), including its degenerate edges: NULL text yields
+    the single element NULL (md5(NULL) is NULL) and a short text yields
+    the md5 of its whole remainder. Same win as the minhash kernel: the
+    md5 digest per DISTINCT shingle is memoized across the task, and no
+    per-position string churn reaches the JVM expression interpreter."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def lingua_winnow(texts, ks, ws):
+        cache: dict[str, str] = {}
+        out = []
+        for c, k, w in zip(texts, ks, ws):
+            if c is None:
+                out.append([None])
+                continue
+            k, w = int(k), int(w)
+            npos = max(len(c) - k + 1, 1)
+            hs = []
+            for i in range(npos):
+                s = c[i : i + k]
+                h = cache.get(s)
+                if h is None:
+                    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    cache[s] = h
+                hs.append(h)
+            fps = list(dict.fromkeys(min(hs[j : j + w]) for j in range(npos)))
+            out.append(fps)
+        return pd.Series(out)
+
+    lingua_winnow.__annotations__ = {
+        "texts": pd.Series,
+        "ks": pd.Series,
+        "ws": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(lingua_winnow, "array<string>").asNondeterministic()
+
+
 def register_sql_udfs(spark: SparkSession) -> None:
     """Register the SQL-callable vectorized kernels used by registry
     Spark SQL texts (``lingua_gopher_masses``, ``lingua_minhash_sig``).
@@ -1909,6 +2001,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
     ship_package(spark)
     spark.udf.register("lingua_gopher_masses", _make_gopher_masses_udf())
     spark.udf.register("lingua_minhash_sig", _make_minhash_sig_udf())
+    spark.udf.register("lingua_winnow", _make_winnow_udf())
     spark._lingua_sql_udfs_registered = True
 
 
