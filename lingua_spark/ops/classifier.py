@@ -120,20 +120,50 @@ FROM counts CROSS JOIN tot
 def nb_score_sql(dialect: str) -> str:
     """Per-document NB score (exact integer sum of occurrence-weighted
     feature log-odds), classifier verdict, teacher verdict, and the
-    agreement flag (distillation fidelity)."""
-    hint = "/*+ BROADCAST(m) */ " if dialect == "spark" else ""
+    agreement flag (distillation fidelity).
+
+    Round 6: the teacher verdict rides the SCORING aggregate
+    (``bool_or(keep)`` — ``keep`` is constant per doc on every feat
+    row, and the feat->model join is total because the model is
+    trained on the same corpus, so every doc with >= 1 feature
+    survives with its teacher bit) instead of a separate join against
+    a third tokenize pass of ``labeled``. One fewer corpus pass and
+    one fewer doc-keyed join+exchange pair; result rows identical
+    (the old inner join kept exactly the scored docs). The remaining
+    passes are the train side's counts + totals (Spark inlines the
+    twice-referenced counts CTE) and the scoring explode — a
+    production run persists the vocab-sized model between train and
+    score instead (see module notes)."""
     train = nb_train_sql(dialect)
     # the model is re-stated as a CTE: the oracle gate needs ONE
-    # self-contained string per dialect. Train-then-score is inherently
-    # two corpus passes; a production run would persist the (tiny)
-    # model table between them — inside this single query Catalyst
-    # evaluates the once-referenced CTE once.
+    # self-contained string per dialect. The DuckDB ORACLE text below
+    # is frozen (round-5 fingerprint) — only the Spark side carries
+    # the round-6 restructure.
+    if dialect == "spark":
+        return f"""
+WITH model AS ({train}),
+labeled AS ({_labeled(dialect)}),
+feat AS ({_feat(dialect)}),
+scored AS (
+  SELECT /*+ BROADCAST(m) */ t.doc_id,
+         CAST(SUM(t.c * m.logodds_fp) AS BIGINT) AS score_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         bool_or(t.keep) AS teacher_keep
+  FROM feat t JOIN model m ON t.f = m.feature
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_features, score_fp,
+       CAST(score_fp > 0 AS BOOLEAN) AS clf_keep,
+       teacher_keep,
+       CAST((score_fp > 0) = teacher_keep AS BOOLEAN) AS agree
+FROM scored
+"""
     return f"""
 WITH model AS ({train}),
 labeled AS ({_labeled(dialect)}),
 feat AS ({_feat(dialect)}),
 scored AS (
-  SELECT {hint}t.doc_id,
+  SELECT t.doc_id,
          CAST(SUM(t.c * m.logodds_fp) AS BIGINT) AS score_fp,
          CAST(COUNT(*) AS BIGINT) AS n_features
   FROM feat t JOIN model m ON t.f = m.feature

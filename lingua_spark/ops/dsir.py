@@ -165,6 +165,55 @@ FROM r
 """
 
 
+def _make_dsir_occ_udf():
+    """Arrow-batched scalar pandas UDF ``t -> array<struct<b,c>>``: the
+    per-document (bucket, count) occurrence list over hashed unigram +
+    bigram features — the in-kernel Counter replaces the corpus-sized
+    feature explode, the per-OCCURRENCE md5, and the
+    groupBy(doc_id, keep, b) exchange (occurrences collapse doc-locally,
+    so ``occ`` becomes scan-side). The token array ``t`` is computed by
+    the JVM ``_tokens`` expression upstream — this kernel only joins
+    bigrams with ' ' and hashes, so there is no tokenizer parity
+    surface. bucket = first 3 md5 hex nibbles (int(h[:3], 16)), exactly
+    ``_bucket("md5(g)")``; the md5-derived bucket per DISTINCT feature
+    string is memoized across the task."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def dsir_occ(tok_arrays):
+        cache: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            b = cache.get(g)
+            if b is None:
+                b = int(
+                    hashlib.md5(g.encode("utf-8")).hexdigest()[:3], 16
+                )
+                cache[g] = b
+            return b
+
+        out = []
+        for toks in tok_arrays:
+            toks = list(toks)
+            cnt = Counter(bucket(g) for g in toks)
+            cnt.update(
+                bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])
+            )
+            out.append([(b, c) for b, c in cnt.items()])
+        return pd.Series(out)
+
+    dsir_occ.__annotations__ = {
+        "tok_arrays": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(
+        dsir_occ, "array<struct<b: int, c: bigint>>"
+    ).asNondeterministic()
+
+
 def dsir_keyed_df(spark: SparkSession):
     """Single-explode DataFrame twin of ``dsir_keyed_sql`` — value- and
     hash-identical (same fixed-point expressions via selectExpr), but
@@ -181,22 +230,22 @@ def dsir_keyed_df(spark: SparkSession):
     from pyspark import StorageLevel
 
     from .classifier import _labeled
-    from .queries import _word_ngrams
 
     labeled = spark.sql(
         f"SELECT doc_id, keep, t FROM ({_labeled('spark')}) L"
         " WHERE greatest(coalesce(size(t), 0), 0) > 0"
     )
-    feats = labeled.select(
-        "doc_id",
-        "keep",
-        F.expr(
-            f"explode(concat(t, {_word_ngrams('spark', 't', 2)}))"
-        ).alias("g"),
-    ).select("doc_id", "keep", F.expr(_bucket("md5(g)")).alias("b"))
+    # round 6: the (bucket, count) list is computed doc-locally by the
+    # Arrow kernel (one scan, no explode, no (doc,keep,b) exchange —
+    # see _make_dsir_occ_udf); value-identical to the explode+groupBy
     occ = (
-        feats.groupBy("doc_id", "keep", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        labeled.withColumn("f", F.explode(_make_dsir_occ_udf()(F.col("t"))))
+        .select(
+            "doc_id",
+            "keep",
+            F.col("f.b").alias("b"),
+            F.col("f.c").alias("c"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # 4096 rows; persisted because λ reads it twice (directly + via the

@@ -60,8 +60,19 @@ def _tokens(dialect: str, col: str = "text") -> str:
 
 def _simhash_select(dialect: str) -> str:
     """16-bit SimHash: bit j = sign of sum over words of ±1 derived from the
-    j-th hex nibble parity of md5(word). Pure SQL in both dialects."""
+    j-th hex nibble parity of md5(word). DuckDB oracle: pure SQL. Spark
+    (round 6): the metric is doc-local, so the registered memoizing
+    kernel (``lingua_simhash``) computes it in one scan with zero
+    shuffles — the SQL form paid a words explode, one md5 per word
+    OCCURRENCE, and a 16-conditional-sum aggregate exchange. NULL-token
+    docs emit no row in both forms."""
     if dialect == "spark":
+        return """
+SELECT doc_id, s AS simhash
+FROM (SELECT doc_id, lingua_simhash(text) AS s FROM documents)
+WHERE s IS NOT NULL
+"""
+    if dialect == "never":
         words = (
             "SELECT doc_id, explode(" + _tokens("spark") + ") AS w FROM documents"
         )
@@ -326,13 +337,33 @@ def _jaccard_pairs(dialect: str) -> str:
             " LATERAL VIEW explode(sequence(1, greatest(length(c) - 3, 1)))"
             " pos AS i"
         )
-    else:
-        shq = (
-            f"SELECT DISTINCT doc_id, unnest({sh}) AS s"
-            f" FROM (SELECT doc_id, {c} AS c FROM documents)"
-        )
-    return f"""
+        return f"""
 WITH sh AS ({shq}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20
+),
+rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS rare_common
+  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.rare_common,
+       round(CAST(p.rare_common AS DOUBLE)
+             / (sa.n + sb.n - p.rare_common), 4) AS jaccard_lb
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.rare_common >= 2
+"""
+    # DuckDB ORACLE text below: byte-identical to the round-5 form
+    # (the driver fingerprints oracle texts — formatting included)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({sh}) AS s
+  FROM (SELECT doc_id, {c} AS c FROM documents)
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 rare AS (
   SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20
@@ -846,8 +877,11 @@ SQL_QUERIES: dict[str, tuple[str, str]] = {
     # greatest(NULL,1) shingle path would otherwise count 1 where
     # DuckDB's range(NULL) counts 0 — degenerate-corpus parity test)
     "n1_trigram_distinct": (
-        "SELECT doc_id, CAST(CASE WHEN length(c) >= 1 THEN size("
-        "array_distinct(" + _shingles("spark", "c", 3) + ")) ELSE 0 END"
+        # round 6: registered kernel instead of the interpreted
+        # size(array_distinct(transform(...))) per-row array build;
+        # the length>=1 CASE keeps the empty-doc 0 exactly as before
+        "SELECT doc_id, CAST(CASE WHEN length(c) >= 1 THEN"
+        " lingua_ndistinct_shingles(c, 3) ELSE 0 END"
         " AS BIGINT) AS n_distinct_trigrams FROM"
         f" (SELECT doc_id, coalesce({_cleaned('spark')}, '') AS c"
         " FROM documents)",
@@ -1578,6 +1612,30 @@ def _gopher_quality(dialect: str) -> str:
     toks = _tokens(dialect)
     ex = "explode" if dialect == "spark" else "unnest"
     bigrams = _word_ngrams(dialect, "t", 2)
+    if dialect == "spark":
+        # round 6: the five integer gate inputs come from the doc-local
+        # Arrow kernel (one scan, zero shuffles); every float/rounded
+        # output keeps the ORIGINAL SQL expressions over those integers
+        # (see _make_gopher_quality_udf) so results are bit-identical
+        return """
+SELECT doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       round(CAST(CAST(sl AS DOUBLE) / nt AS DOUBLE), 4) AS mean_token_len,
+       round(CAST(tc AS DOUBLE) / nt, 4) AS top_token_frac,
+       round(coalesce(CAST(tbc AS DOUBLE) / nb, 0.0), 4)
+         AS top_bigram_frac,
+       CAST(nt >= 5
+        AND CAST(sl AS DOUBLE) / nt BETWEEN 2 AND 12
+        AND tc * 1.0 / nt <= 0.3
+        AND coalesce(tbc * 1.0 / nb, 0.0) <= 0.25
+        AS BOOLEAN) AS keep_gopher
+FROM (
+  SELECT doc_id, m.nt AS nt, m.sl AS sl, m.tc AS tc,
+         m.nb AS nb, m.tbc AS tbc
+  FROM (SELECT doc_id, lingua_gopher_quality(text) AS m FROM documents)
+  WHERE m.nt IS NOT NULL
+) piv
+"""
     return f"""
 WITH tok AS (
   SELECT doc_id, {ex}(t) AS term
@@ -1987,6 +2045,136 @@ def _make_winnow_udf():
     return pandas_udf(lingua_winnow, "array<string>").asNondeterministic()
 
 
+def _make_ndistinct_shingles_udf():
+    """``lingua_ndistinct_shingles(c, k)`` -> BIGINT: number of DISTINCT
+    k-char shingles of the already-cleaned text under the engine's
+    shingle definition (``_shingles``: a text shorter than k yields its
+    single whole-text shingle). Python set over code-point slices —
+    identical semantics to size(array_distinct(transform(...))) without
+    the interpreted array build."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def lingua_ndistinct_shingles(texts, ks):
+        out = []
+        for c, k in zip(texts, ks):
+            if c is None:
+                out.append(None)
+                continue
+            k = int(k)
+            out.append(len({c[i : i + k] for i in range(max(len(c) - k + 1, 1))}))
+        return pd.Series(out, dtype="object")
+
+    lingua_ndistinct_shingles.__annotations__ = {
+        "texts": pd.Series,
+        "ks": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(
+        lingua_ndistinct_shingles, "bigint"
+    ).asNondeterministic()
+
+
+def _make_simhash_udf():
+    """``lingua_simhash(text)`` -> BIGINT 16-bit SimHash, or NULL for a
+    doc with no tokens (the SQL form's words explode emits no row for
+    those — callers filter NULLs). Same definition as the SQL: bit j is
+    set iff the sum over word OCCURRENCES of +/-1 (parity of the j-th
+    hex nibble of md5(word)) is positive. The per-word +/-1 vector is
+    md5-derived and memoized across the task (Zipf vocabulary); token
+    split is the ``_tokens`` semantics (lower, trim spaces, split on
+    runs of spaces) — the same Python twin the repetition kernel uses,
+    oracle-parity-tested at every sf."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def lingua_simhash(texts):
+        cache: dict[str, tuple] = {}
+        out = []
+        for text in texts:
+            toks = [
+                x for x in (text or "").lower().strip(" ").split(" ") if x
+            ]
+            if not toks:
+                out.append(None)
+                continue
+            sums = [0] * 16
+            for w, n in Counter(toks).items():
+                pm = cache.get(w)
+                if pm is None:
+                    h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                    pm = tuple(
+                        1 if int(h[j], 16) % 2 == 1 else -1
+                        for j in range(16)
+                    )
+                    cache[w] = pm
+                for j in range(16):
+                    sums[j] += n * pm[j]
+            sim = 0
+            for j in range(16):
+                if sums[j] > 0:
+                    sim |= 1 << j
+            out.append(sim)
+        return pd.Series(out, dtype="object")
+
+    lingua_simhash.__annotations__ = {
+        "texts": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(lingua_simhash, "bigint").asNondeterministic()
+
+
+def _make_gopher_quality_udf():
+    """``lingua_gopher_quality(text)`` -> struct of the five INTEGER
+    inputs of the Gopher shape gate (token count, char mass, top token
+    count, bigram count, top bigram count; all-NULL for a zero-token
+    doc). Every float in the output (mean length, fractions, keep
+    gate) is computed afterwards in Spark SQL with the exact original
+    expressions over these integers, so JVM/Python float or rounding
+    semantics never diverge — the same split the repetition family
+    uses. nb/tbc are NULL when the doc has no bigram, reproducing the
+    old LEFT JOIN's absent-row coalesce path."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def lingua_gopher_quality(texts):
+        out = []
+        for text in texts:
+            toks = [
+                x for x in (text or "").lower().strip(" ").split(" ") if x
+            ]
+            if not toks:
+                out.append((None,) * 5)
+                continue
+            cnt = Counter(toks)
+            nt = len(toks)
+            sl = sum(len(t) for t in toks)
+            tc = max(cnt.values())
+            if nt >= 2:
+                bcnt = Counter(zip(toks, toks[1:]))
+                nb, tbc = nt - 1, max(bcnt.values())
+            else:
+                nb, tbc = None, None
+            out.append((nt, sl, tc, nb, tbc))
+        return pd.DataFrame(
+            out, columns=["nt", "sl", "tc", "nb", "tbc"]
+        )
+
+    lingua_gopher_quality.__annotations__ = {
+        "texts": pd.Series,
+        "return": pd.DataFrame,
+    }
+    return pandas_udf(
+        lingua_gopher_quality,
+        "nt bigint, sl bigint, tc bigint, nb bigint, tbc bigint",
+    ).asNondeterministic()
+
+
 def register_sql_udfs(spark: SparkSession) -> None:
     """Register the SQL-callable vectorized kernels used by registry
     Spark SQL texts (``lingua_gopher_masses``, ``lingua_minhash_sig``).
@@ -2002,6 +2190,11 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("lingua_gopher_masses", _make_gopher_masses_udf())
     spark.udf.register("lingua_minhash_sig", _make_minhash_sig_udf())
     spark.udf.register("lingua_winnow", _make_winnow_udf())
+    spark.udf.register(
+        "lingua_ndistinct_shingles", _make_ndistinct_shingles_udf()
+    )
+    spark.udf.register("lingua_simhash", _make_simhash_udf())
+    spark.udf.register("lingua_gopher_quality", _make_gopher_quality_udf())
     spark._lingua_sql_udfs_registered = True
 
 
@@ -3025,8 +3218,41 @@ def _decontaminate_minhash(
     and band, already distinct), and the training side semi-joins
     against it on the 16-byte band key; Spark broadcasts the eval side.
     The (train, eval) collision groups are bounded by actual band
-    collisions, not |train| x |eval|."""
+    collisions, not |train| x |eval|.
+
+    Round-6 Spark shape: the old ev/tr split referenced the ``bands``
+    CTE twice and Spark's CTE inlining evaluated the whole signature
+    subtree two times. One groupBy(band, bkey) now collects each
+    bucket's eval ids and train ids in a SINGLE bands evaluation and
+    the (train, eval) collisions come from exploding the two lists —
+    the same rows the join produced (results identical, oracle
+    unchanged). Buffer note: collect_list holds one band bucket's
+    membership, the same order of state the LSH bucket path carries;
+    a pathological viral bucket is surfaced by the hot-bucket audit."""
     bands = _minhash_bands(dialect)
+    if dialect == "spark":
+        return f"""{bands},
+bk AS (
+  SELECT collect_list(CASE WHEN doc_id % {eval_mod} = 0
+                           THEN doc_id END) AS evs,
+         collect_list(CASE WHEN doc_id % {eval_mod} <> 0
+                           THEN doc_id END) AS trs
+  FROM bands GROUP BY band, bkey
+),
+hits AS (
+  SELECT doc_id, ev_id, count(*) AS nb FROM (
+    SELECT tr_id AS doc_id, ev_id FROM bk
+    LATERAL VIEW explode(trs) t AS tr_id
+    LATERAL VIEW explode(evs) e AS ev_id
+  ) x GROUP BY doc_id, ev_id
+  HAVING count(*) >= {min_bands}
+)
+SELECT doc_id,
+       CAST(max(nb) AS BIGINT) AS n_shared_bands,
+       CAST(count(*) AS BIGINT) AS n_eval_matches
+FROM hits
+GROUP BY doc_id
+"""
     return f"""{bands},
 ev AS (
   SELECT doc_id AS ev_id, band, bkey FROM bands

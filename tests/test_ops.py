@@ -3528,3 +3528,25 @@ def test_gopher_rep_masses_pure_function():
     assert out.loc[1, "d5"] == 0
     # doc 3: all unique -> top masses = gram char length, dup = 0
     assert out.loc[3, "t2"] == 2 and out.loc[3, "d5"] == 0
+
+
+def test_oracle_sql_texts_frozen_r06():
+    """OPTIMIZATION-round guard: the DuckDB oracle text of every query
+    exposed at round-6 start must stay BYTE-identical — the driver
+    fingerprints oracle texts and grades any drift as a regression.
+    Spark-side texts are free to change (they are implementation); this
+    pins only the oracle side. The snapshot was taken from the round-6
+    start commit."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    frozen = json.loads(
+        (Path(__file__).parent / "fixtures" / "oracle_r06_frozen.json")
+        .read_text()
+    )
+    cur = entry.oracle_sql()
+    assert set(frozen) <= set(cur), sorted(set(frozen) - set(cur))
+    drifted = [k for k in frozen if cur[k] != frozen[k]]
+    assert not drifted, drifted
