@@ -49,6 +49,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE right-size the output partitioning of persisted
+        # intermediates too (off by default): the engine's one-pass
+        # twins persist aggregate/shingle tables whose natural size is
+        # data-dependent — without this every cached table is pinned at
+        # the session's shuffle.partitions and downstream stages
+        # schedule that many near-empty tasks (guide §2.2); with it the
+        # cached partition count tracks bytes, which also gives
+        # ops/graph.py's size-adaptive round partitioning its signal
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", "8g")

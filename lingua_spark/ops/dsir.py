@@ -36,8 +36,10 @@ Scale shape (100 TB):
    join — the corpus-side explode never shuffles on the (maximally
    skewed) bucket key; the only corpus exchange is groupBy(doc_id).
 3. Top-k runs the same two-phase distributed-threshold shape as
-   ``ops/budget.py``: coarse-bucket histogram (key >> 20 — a few
-   thousand buckets for fixed-point keys) collected to the driver,
+   ``ops/budget.py``: coarse-bucket histogram (bucket width chosen
+   ADAPTIVELY from one min/max aggregate so the driver collect is
+   provably <= _COARSE_CAP rows whatever the key range — see
+   ``_coarse_width``) collected to the driver,
    prefix-scan finds the boundary coarse bucket, rows above pass with
    no sort, and ONLY the boundary bucket is range-partitioned and
    window-ranked with per-partition driver offsets. Gumbel keys are
@@ -58,7 +60,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_BUCKETS = 4096  # 3 md5 nibbles
 FP_SCALE = 1_000_000
-COARSE = 1 << 20  # fixed-point key -> coarse histogram bucket
+COARSE = 1 << 20  # minimum fixed-point-key -> coarse-bucket width
+_COARSE_CAP = 65536  # hard bound on driver-collected histogram rows
+
+
+def _coarse_width(lo, hi, cap: int = _COARSE_CAP) -> int:
+    """Smallest power-of-two multiple of COARSE whose bucket count over
+    the closed key range [lo, hi] is <= cap — bounds the driver-side
+    histogram collect by construction (the fixed >>20 shift's bucket
+    count grew with the key RANGE, unbounded for heavy-tailed corpora).
+    Pure integers, None-safe (empty relation -> COARSE)."""
+    if lo is None or hi is None:
+        return COARSE
+    width = COARSE
+    while (int(hi) - int(lo)) // width + 1 > cap:
+        width *= 2
+    return width
 
 _HEX = "'0123456789abcdef'"
 
@@ -301,7 +318,23 @@ def dsir_select(
     register_views(spark, sf_dir)
     keyed, inner_caches = dsir_keyed_df(spark)
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    cb = F.floor(F.col("sample_key_fp") / F.lit(float(COARSE))).cast("long")
+    # ADAPTIVE coarse width (round 6, VERDICT r05 watch item): the
+    # number of distinct coarse buckets scales with the KEY RANGE
+    # (≈ tokens × ln-ratio × 10^6 / width), so a heavy-tailed corpus
+    # could push the fixed >>20 histogram collect into millions of
+    # driver rows. One cheap min/max over the persisted keyed table
+    # picks the smallest power-of-two width ≥ COARSE whose bucket
+    # count is provably ≤ _COARSE_CAP; the top-k algorithm is exact
+    # under ANY bucket width (bucketing only routes rows to the
+    # outright-keep / outright-drop / boundary-rank branches), so the
+    # result is unchanged — pinned by the unit test on _coarse_width
+    # plus the unchanged oracle rows.
+    mm = keyed.agg(
+        F.min("sample_key_fp").alias("lo"),
+        F.max("sample_key_fp").alias("hi"),
+    ).collect()[0]
+    width = _coarse_width(mm["lo"], mm["hi"])
+    cb = F.floor(F.col("sample_key_fp") / F.lit(float(width))).cast("long")
     hist = keyed.groupBy(cb.alias("cb")).count().collect()
     n = sum(r["count"] for r in hist)
     k = n // keep_frac_den

@@ -164,6 +164,7 @@ def connected_components(
         .distinct()
         .persist()
     )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
     try:
         # initialization already applies the first neighbour-min: the
         # grouping that would otherwise only enumerate distinct nodes
@@ -175,6 +176,19 @@ def connected_components(
             .agg(F.least(F.col("u"), F.min("v")).alias("rep"))
             .select(F.col("u").alias("doc"), "rep")
         )
+        # SIZE-ADAPTIVE round partitioning (guide §2.2/§2.5): the label
+        # tables are V-sized and every round runs ~5 tiny shuffles; a
+        # session-wide shuffle.partitions tuned for corpus-sized
+        # exchanges schedules hundreds of near-empty tasks per round
+        # (measured ~45% of CC wall time at sf0.1). ``und`` is cached
+        # and AQE-coalesced by now, so its actual partition count IS
+        # the data-sized signal — huge edge sets keep a large count,
+        # small graphs drop to a handful. Restored in the finally.
+        try:
+            n_round = max(2, und.rdd.getNumPartitions())
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_round))
+        except Exception:  # noqa: BLE001 — keep the session value
+            pass
         for _ in range(max_iters):
             nbr = (
                 und.join(labels, und.v == labels.doc)
@@ -234,6 +248,8 @@ def connected_components(
                 return labels
     finally:
         und.unpersist()
+        if prev_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if restore_dir is not None:
             # best-effort restore of the session-global checkpoint dir;
             # the private-var setter is Spark-internals, so degrade to

@@ -164,3 +164,29 @@ def test_dsir_lambda_table_is_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_coarse_width_bounds_histogram():
+    """VERDICT r05 watch item: the coarse histogram collect must be
+    provably bounded whatever the sample-key RANGE. Planted ranges from
+    degenerate to 2^63-wide all stay under the cap, the width never
+    drops below the base COARSE, widths are powers of two times COARSE
+    (bucket assignment stays a cheap shift), and the default corpus
+    range keeps the base width (no behaviour change where the old
+    fixed shift was already fine)."""
+    from lingua_spark.ops.dsir import COARSE, _COARSE_CAP, _coarse_width
+
+    assert _coarse_width(None, None) == COARSE
+    assert _coarse_width(0, 0) == COARSE
+    assert _coarse_width(-1_000_000, 50_000_000_000) == COARSE
+    for lo, hi in [
+        (-(2**62), 2**62),
+        (0, 2**63 - 1),
+        (-(2**40), 2**55),
+        (-123, 10**15),
+    ]:
+        w = _coarse_width(lo, hi)
+        assert (hi - lo) // w + 1 <= _COARSE_CAP, (lo, hi, w)
+        assert w >= COARSE and w % COARSE == 0
+        q, r = divmod(w, COARSE)
+        assert r == 0 and (q & (q - 1)) == 0  # power-of-two multiple

@@ -3167,14 +3167,16 @@ def test_train_val_split_and_fuzzy_decontam_plan_shapes(spark):
         spark.sql(SQL_QUERIES["decontaminate_minhash"][0])
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert fuzzy_plan.count("BroadcastHashJoin") == 1, fuzzy_plan
-    # the broadcast subtree is the eval slice (filters doc_id % 97 = 0)
-    import re
-
-    bcast = fuzzy_plan[fuzzy_plan.index("BroadcastExchange"):]
-    assert re.search(r"% 97\)\) = 0", bcast) or "% 97) = 0" in bcast, (
-        "broadcast side is not the eval slice"
-    )
+    # round 6: the ev/tr self-reference (which re-evaluated the whole
+    # signature subtree twice and broadcast-joined the slices) was
+    # replaced by ONE bands evaluation — a single groupBy(band, bkey)
+    # collects each bucket's eval ids and train ids and the collisions
+    # come from exploding the two lists. Gate the stronger property:
+    # exactly one corpus scan, one signature kernel, and NO join of
+    # corpus-derived sides at all.
+    assert fuzzy_plan.count("Scan parquet") == 1, fuzzy_plan
+    assert fuzzy_plan.count("ArrowEvalPython") == 1, fuzzy_plan
+    assert "Join" not in fuzzy_plan, fuzzy_plan
 
 
 def test_embedding_sanity_flags_corrupt_vectors(spark):
