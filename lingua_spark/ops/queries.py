@@ -326,19 +326,22 @@ def _jaccard_pairs(dialect: str) -> str:
     c = _cleaned(dialect)
     sh = _shingles(dialect, "c", 4)
     if dialect == "spark":
-        # round 6: shingles sliced via LATERAL VIEW explode over an
-        # integer sequence + substring (codegen) instead of the
-        # interpreted higher-order transform array build — value-
-        # identical (incl. the [NULL]-shingle degenerate row for NULL
-        # cleaned text), measured 9.7 -> 3.7 s for this query at sf0.1
-        shq = (
-            f"SELECT DISTINCT doc_id, substring(c, i, 4) AS s"
-            f" FROM (SELECT doc_id, {c} AS c FROM documents)"
-            " LATERAL VIEW explode(sequence(1, greatest(length(c) - 3, 1)))"
-            " pos AS i"
-        )
+        # round 6 note: a LATERAL VIEW explode(sequence)+substring
+        # shingle rewrite was tried here and REVERTED — a same-session
+        # interleaved A/B at sf0.1 (3 reps each, noop sink) measured the
+        # lateral form ~25% SLOWER than this HOF form for this query
+        # (old 4.11/4.40/5.04 s vs new 5.24/5.34/5.54 s): the shingle
+        # subtree is re-evaluated 3x here, and the sequence-explode
+        # Generate emits one row per position BEFORE the DISTINCT,
+        # tripling the pre-aggregation row count, which outweighs the
+        # HOF's CodegenFallback cost. The DF twin materializes shingles
+        # once, where the codegen slicing does win (see
+        # jaccard_pairs_df).
         return f"""
-WITH sh AS ({shq}),
+WITH sh AS (
+  SELECT DISTINCT doc_id, explode({sh}) AS s
+  FROM (SELECT doc_id, {c} AS c FROM documents)
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 rare AS (
   SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20
